@@ -1,0 +1,129 @@
+"""Configuration dataclasses.
+
+Mirrors the reference's flag surface: the graph server's ~25 boost
+program_options flags (reference: src/graph-server/engine/utils.cpp:313-452),
+the weight server's positional argv (src/weight-server/main.cpp:9-43), and the
+per-dataset layer-dim config files (run/*.config, e.g. reddit = 602 128 41).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+# Train/val/test split by global vertex index, identical to the reference
+# (src/common/utils.hpp:60-62).
+TRAIN_PORTION = 0.66
+VAL_PORTION = 0.10
+TEST_PORTION = 0.24
+
+
+@dataclass
+class LayerConfig:
+    """Layer dimensions, one entry per tensor dim along the network.
+
+    Equivalent to the reference's `<dataset>.config` files read by
+    readLayerConfigFile (engine/utils.cpp:460): e.g. reddit.config is
+    [602, 128, 41] = features -> hidden -> classes for a 2-layer model.
+    """
+
+    dims: List[int]
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.dims) - 1
+
+    @property
+    def feature_dim(self) -> int:
+        return self.dims[0]
+
+    @property
+    def num_classes(self) -> int:
+        return self.dims[-1]
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> "LayerConfig":
+        dims = [int(line) for line in Path(path).read_text().split() if line.strip()]
+        return cls(dims=dims)
+
+    # Reference dataset configs (run/*.config).
+    PRESETS = {
+        "cora": [1433, 16, 7],
+        "reddit": [602, 128, 41],
+        "amazon": [300, 64, 25],
+        "reddit-large": [301, 128, 50],
+        "friendster": [32, 48, 51],
+    }
+
+    @classmethod
+    def preset(cls, name: str) -> "LayerConfig":
+        return cls(dims=list(cls.PRESETS[name]))
+
+
+@dataclass
+class TrainConfig:
+    """Training hyperparameters + run control.
+
+    Defaults follow the reference run scripts (run/run-onnode:226 lr=0.01,
+    benchmarks/run-reddit-gcn epochs; AdamOptimizer.hpp β/ε).
+    """
+
+    model: str = "gcn"  # "gcn" | "gat"
+    epochs: int = 100
+    learning_rate: float = 0.01
+    adam: bool = True
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-7  # reference AdamOptimizer.hpp:22 EPSILON
+    weight_decay: float = 0.0
+
+    # Early stopping against a target accuracy, mirroring the weight server's
+    # converge state machine (weightserver.cpp:270-294).
+    target_accuracy: Optional[float] = None
+    # Accuracy threshold ratio at which the async engine switches to sync in
+    # the reference (weightserver.hpp switch_threshold); kept as config.
+    switch_threshold: float = 0.9
+
+    # Evaluate every N epochs (reference evaluates when eval flag set per chunk).
+    eval_every: int = 1
+
+    # Pipeline/async knobs (reference --pipeline / --staleness). The TPU
+    # engine is synchronous SPMD; staleness is accepted for CLI parity and
+    # bounded-staleness mode is emulated via delayed gradient application.
+    pipeline: bool = True
+    staleness: Optional[int] = None
+
+    # Parallelism
+    num_shards: int = 1  # vertex shards over the mesh 'graph' axis
+
+    # Numerics
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # flip to bfloat16 for speed at scale
+
+    # Checkpointing (an improvement over the reference, which has none).
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # 0 = disabled
+    resume: bool = False
+
+    seed: int = 8888  # reference weightserver.cpp:572 fixed RNG seed
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        return cls(**json.loads(text))
+
+
+@dataclass
+class RunConfig:
+    """Top-level run descriptor: dataset + model + training."""
+
+    dataset: str = "cora"
+    data_dir: Optional[str] = None
+    layers: LayerConfig = field(default_factory=lambda: LayerConfig.preset("cora"))
+    train: TrainConfig = field(default_factory=TrainConfig)
+    output_file: Optional[str] = None  # mirrors tmpdir/output_<node>

@@ -1,0 +1,1 @@
+from dorylus_tpu.engine.engine import Engine  # noqa: F401

@@ -1,0 +1,37 @@
+"""Build device-resident GraphBatch pytrees from host-side Graphs."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from dorylus_tpu.common.config import TRAIN_PORTION
+from dorylus_tpu.graph.graph import Graph
+from dorylus_tpu.models.base import GraphBatch
+
+
+def onehot_labels(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    out = np.zeros((labels.shape[0], num_classes), dtype=np.float32)
+    valid = labels >= 0
+    out[np.arange(labels.shape[0])[valid], labels[valid]] = 1.0
+    return out
+
+
+def build_batch(g: Graph, for_gat: bool = False) -> GraphBatch:
+    """Single-shard batch: the whole graph on one device."""
+    train_m, val_m, test_m = g.masks()
+    edge_val = np.ones(g.num_edges, np.float32) if for_gat else g.edge_norm
+    return GraphBatch(
+        x=jnp.asarray(g.features),
+        onehot=jnp.asarray(onehot_labels(g.labels, g.num_classes)),
+        src=jnp.asarray(g.src),
+        dst=jnp.asarray(g.dst),
+        edge_val=jnp.asarray(edge_val),
+        self_val=jnp.asarray(g.self_norm),
+        train_mask=jnp.asarray(train_m.astype(np.float32)),
+        val_mask=jnp.asarray(val_m.astype(np.float32)),
+        test_mask=jnp.asarray(test_m.astype(np.float32)),
+        # Loss denominator: |V_global| * 0.66, matching the trainset_size the
+        # lambdas divide by (lambda_comm.cpp:156, funcs/gcn/main.cpp:100-101).
+        denom=jnp.asarray(g.num_vertices * TRAIN_PORTION, jnp.float32),
+    )

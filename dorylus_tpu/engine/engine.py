@@ -1,0 +1,129 @@
+"""The training engine: epoch driver, evaluation, early stop, reporting.
+
+The TPU analog of Engine::init/run/output (src/graph-server/engine/engine.cpp)
+plus the weight-server master's accuracy aggregation and converge state
+machine (weightserver.cpp:190-294). The reference's chunked 6-queue pipeline
+(engine/ops/pipeline.cpp) exists to overlap Lambda latency with graph-server
+compute; under XLA the whole epoch is one fused compiled program, so the
+scheduler reduces to a Python epoch loop around a jitted train step —
+overlap of communication and compute inside the step is XLA's job (plus
+explicit interior/boundary splitting in the sharded path).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dorylus_tpu.common.config import LayerConfig, TrainConfig
+from dorylus_tpu.common.logging import log
+from dorylus_tpu.common.metrics import EpochRecord, RunReport, StageTimer
+from dorylus_tpu.engine.batch import build_batch
+from dorylus_tpu.graph.graph import Graph
+from dorylus_tpu.models.base import GraphBatch
+from dorylus_tpu.models.gat import GAT
+from dorylus_tpu.models.gcn import GCN
+from dorylus_tpu.ops.activations import accuracy_and_loss, row_softmax
+from dorylus_tpu.optim.adam import AdamState, adam_init, adam_update, sgd_update
+
+
+class Engine:
+    """Single-host engine. For multi-device sharded training see
+    dorylus_tpu.parallel.train_step.ShardedEngine (same external surface)."""
+
+    def __init__(self, graph: Graph, layers: LayerConfig, cfg: TrainConfig):
+        assert layers.feature_dim == graph.features.shape[1], (
+            "feature dim mismatch vs layer config "  # engine/utils.cpp:510
+            f"({graph.features.shape[1]} vs {layers.feature_dim})")
+        self.graph = graph
+        self.layers = layers
+        self.cfg = cfg
+        self.model = GCN(layers) if cfg.model == "gcn" else GAT(layers)
+        self.batch = build_batch(graph, for_gat=cfg.model == "gat")
+        self.params = self.model.init_params(seed=cfg.seed)
+        self.opt_state = adam_init(self.params) if cfg.adam else None
+        self.report = RunReport()
+        self._compiled = None
+
+    # ---- compiled steps ----
+
+    def _make_step(self):
+        model, cfg = self.model, self.cfg
+        compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        def loss_fn(params, batch: GraphBatch):
+            return model.loss(params, batch, compute_dtype=compute_dtype)
+
+        if cfg.adam:
+            def step(params, opt_state, batch):
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                params, opt_state = adam_update(
+                    params, grads, opt_state, lr=cfg.learning_rate,
+                    beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
+                    weight_decay=cfg.weight_decay)
+                return params, opt_state, loss
+        else:
+            def step(params, opt_state, batch):
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                return sgd_update(params, grads, cfg.learning_rate), opt_state, loss
+
+        def evaluate(params, batch, mask):
+            probs = row_softmax(model.forward(params, batch))
+            return accuracy_and_loss(probs, batch.onehot, mask)
+
+        return jax.jit(step, donate_argnums=(0, 1)), jax.jit(evaluate)
+
+    # ---- run loop (Engine::run + pipeline scheduler analog) ----
+
+    def run(self, epochs: Optional[int] = None) -> RunReport:
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        if self._compiled is None:
+            self._compiled = self._make_step()
+        step, evaluate = self._compiled
+        cfg = self.cfg
+        t_run = time.perf_counter()
+
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            self.params, self.opt_state, loss = step(
+                self.params, self.opt_state, self.batch)
+            acc = None
+            if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == epochs - 1):
+                correct, loss_sum, count = evaluate(
+                    self.params, self.batch, self.batch.val_mask)
+                acc = float(correct) / max(1.0, float(count))
+                val_loss = float(loss_sum) / max(1.0, float(count))
+            else:
+                jax.block_until_ready(loss)
+                val_loss = None
+            dt_ms = 1e3 * (time.perf_counter() - t0)
+            self.report.add_epoch(EpochRecord(epoch, dt_ms, loss=float(loss), accuracy=acc))
+            if acc is not None:
+                # Per-epoch line like the WS master (weightserver.cpp:258-262).
+                log("Epoch %d: %.2f ms, train loss %.4f, val acc %.4f, val loss %.4f",
+                    epoch, dt_ms, float(loss), acc, val_loss)
+            # Early stop (converge state machine, weightserver.cpp:270-294).
+            if cfg.target_accuracy is not None and acc is not None:
+                if acc >= cfg.target_accuracy:
+                    log("Target accuracy %.3f reached at epoch %d — stopping.",
+                        cfg.target_accuracy, epoch)
+                    break
+
+        self.report.total_time_s = time.perf_counter() - t_run
+        # Final metrics (Engine::output analog).
+        correct, _, count = evaluate(self.params, self.batch, self.batch.val_mask)
+        self.report.final_accuracy = float(correct) / max(1.0, float(count))
+        correct, _, count = evaluate(self.params, self.batch, self.batch.test_mask)
+        self.report.test_accuracy = float(correct) / max(1.0, float(count))
+        return self.report
+
+    def output(self, path: Optional[str] = None) -> str:
+        """Write/return the final report (analog of output_<node>,
+        engine/utils.cpp:109-212)."""
+        if path:
+            self.report.write(path)
+        return self.report.summary()

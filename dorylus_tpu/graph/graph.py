@@ -1,0 +1,147 @@
+"""Host-side global graph container.
+
+The analog of the reference's RawGraph/Graph (src/graph-server/graph/graph.hpp)
+before partitioning: directed edge list, per-vertex in-degrees, features and
+labels, plus the GCN symmetric-normalization edge values computed exactly as
+DataLoader::setEdgeNormalizations (src/graph-server/graph/dataloader.cpp:153-185):
+
+    deg(v)      = in_degree(v) + 1              (self loop counted)
+    edge (u->v) : value = deg(u)^-1/2 * deg(v)^-1/2
+    self loop v : value = deg(v)^-1             (vertex "norm factor")
+
+so the propagation matrix is S = D~^-1/2 (A + I) D~^-1/2 with D~ = D_in + I,
+applied as  ah[v] = selfnorm[v]*h[v] + sum_{u->v} edgenorm(u,v) * h[u]
+(Engine::aggregateGCN, engine/ops/gcn_ops.cpp:130-191).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from dorylus_tpu.common.config import TRAIN_PORTION, VAL_PORTION
+
+
+@dataclass
+class Graph:
+    num_vertices: int
+    # Directed edges: message flows src -> dst (dst aggregates from src).
+    src: np.ndarray  # (E,) int32
+    dst: np.ndarray  # (E,) int32
+    features: Optional[np.ndarray] = None  # (V, F) float32
+    labels: Optional[np.ndarray] = None  # (V,) int32 class ids
+    num_classes: int = 0
+
+    # Derived (filled by finalize()).
+    in_degree: np.ndarray = field(default=None, repr=False)
+    edge_norm: np.ndarray = field(default=None, repr=False)  # (E,) float32
+    self_norm: np.ndarray = field(default=None, repr=False)  # (V,) float32
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+    def finalize(self) -> "Graph":
+        """Compute degrees + GCN normalization values."""
+        v = self.num_vertices
+        self.src = np.asarray(self.src, dtype=np.int32)
+        self.dst = np.asarray(self.dst, dtype=np.int32)
+        self.in_degree = np.bincount(self.dst, minlength=v).astype(np.int64)
+        deg = (self.in_degree + 1).astype(np.float64)
+        inv_sqrt = deg ** -0.5
+        self.self_norm = (deg ** -1.0).astype(np.float32)
+        self.edge_norm = (inv_sqrt[self.src] * inv_sqrt[self.dst]).astype(np.float32)
+        return self
+
+    # ---- split masks (src/common/utils.hpp:60-62: by global vertex index) ----
+
+    def split_bounds(self) -> tuple[int, int]:
+        train_end = int(self.num_vertices * TRAIN_PORTION)
+        val_end = train_end + int(self.num_vertices * VAL_PORTION)
+        return train_end, val_end
+
+    def masks(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        train_end, val_end = self.split_bounds()
+        idx = np.arange(self.num_vertices)
+        return idx < train_end, (idx >= train_end) & (idx < val_end), idx >= val_end
+
+    # ---- dense oracle helpers (for tests; mirrors miscs/check-correctness) ----
+
+    def dense_norm_adj(self) -> np.ndarray:
+        """Dense S = D~^-1/2 (A+I) D~^-1/2 for small-graph oracle checks."""
+        v = self.num_vertices
+        s = np.zeros((v, v), dtype=np.float64)
+        np.add.at(s, (self.dst, self.src), self.edge_norm.astype(np.float64))
+        s[np.arange(v), np.arange(v)] += self.self_norm.astype(np.float64)
+        return s
+
+    @staticmethod
+    def make_undirected(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Add reverse edges and dedupe (the reference datasets ship directed
+        edge lists; inputs/prepare treats the graph as undirected for METIS)."""
+        s = np.concatenate([src, dst])
+        d = np.concatenate([dst, src])
+        keep = s != d  # drop explicit self loops; normalization adds them
+        s, d = s[keep], d[keep]
+        uniq = np.unique(np.stack([s, d], axis=1), axis=0)
+        return uniq[:, 0].astype(np.int32), uniq[:, 1].astype(np.int32)
+
+
+def synthetic_graph(
+    num_vertices: int,
+    avg_degree: int,
+    feature_dim: int,
+    num_classes: int,
+    seed: int = 0,
+    planted: bool = True,
+) -> Graph:
+    """Random graph with (optionally) planted class structure so that
+    training has signal; used for tests/benchmarks when the real datasets
+    aren't on disk (analog of miscs/generate-dataset)."""
+    rng = np.random.default_rng(seed)
+    v = num_vertices
+    e = num_vertices * avg_degree
+    labels = rng.integers(0, num_classes, size=v).astype(np.int32)
+
+    if planted:
+        # Homophilous edges: half within class, half uniform.
+        order = np.argsort(labels, kind="stable")
+        by_class = [order[labels[order] == c] for c in range(num_classes)]
+        n_intra = e // 2
+        srcs, dsts = [], []
+        cls = rng.integers(0, num_classes, size=n_intra)
+        for c in range(num_classes):
+            members = by_class[c]
+            if len(members) < 2:
+                continue
+            k = int((cls == c).sum())
+            srcs.append(members[rng.integers(0, len(members), size=k)])
+            dsts.append(members[rng.integers(0, len(members), size=k)])
+        n_rand = e - sum(len(x) for x in srcs)
+        srcs.append(rng.integers(0, v, size=n_rand).astype(np.int64))
+        dsts.append(rng.integers(0, v, size=n_rand).astype(np.int64))
+        src = np.concatenate(srcs).astype(np.int32)
+        dst = np.concatenate(dsts).astype(np.int32)
+    else:
+        src = rng.integers(0, v, size=e).astype(np.int32)
+        dst = rng.integers(0, v, size=e).astype(np.int32)
+
+    src, dst = Graph.make_undirected(src, dst)
+
+    feats = rng.normal(0, 1, size=(v, feature_dim)).astype(np.float32)
+    if planted:
+        # Class-dependent feature shift.
+        centers = rng.normal(0, 1, size=(num_classes, feature_dim)).astype(np.float32)
+        feats += 0.5 * centers[labels]
+
+    g = Graph(
+        num_vertices=v,
+        src=src,
+        dst=dst,
+        features=feats,
+        labels=labels,
+        num_classes=num_classes,
+    )
+    return g.finalize()

@@ -1,0 +1,250 @@
+"""Vertex partitioning + halo (ghost) exchange plans.
+
+The TPU-native redesign of the reference's partition pipeline:
+  - inputs/partitioner.cpp (METIS k-way vertex partition)
+  - DataLoader::preprocess (dataloader.cpp:225-330): edge classification
+    local/remote, ghost discovery, ghost degrees, per-edge norm factors
+  - Graph's ghost maps (graph.hpp:87-98): forwardGhostMap = which local
+    vertices each remote partition needs, ghost tensors receive remote
+    activations each layer.
+
+Here every shard gets *static, uniformly padded* arrays (XLA needs static
+shapes), and the push-based ZMQ scatter/ghost-receiver pair
+(gcn_ops.cpp:204-362) becomes a single all_to_all collective per layer:
+each shard gathers the boundary rows each peer needs into a
+(n_shards, max_halo, F) buffer; all_to_all swaps the leading axis; the
+received rows are appended to the local feature table, and edge source
+indices address that table. Autodiff of this plan reproduces the backward
+ghost exchange (scatter-add of remote gradients) automatically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from dorylus_tpu.common.config import TRAIN_PORTION, VAL_PORTION
+from dorylus_tpu.graph.graph import Graph
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class Shard:
+    """Host-side (numpy) padded arrays for one vertex shard."""
+
+    shard_id: int
+    num_local: int  # real local vertices (<= vp)
+    global_ids: np.ndarray  # (vp,) int64, -1 on padding rows
+    x: np.ndarray  # (vp, F)
+    onehot: np.ndarray  # (vp, C)
+    src: np.ndarray  # (ep,) int32 into feature table [0, vp + n*max_h)
+    dst: np.ndarray  # (ep,) int32 into [0, vp)
+    edge_val: np.ndarray  # (ep,) float32; 0 on padding edges
+    self_val: np.ndarray  # (vp,) float32; 0 on padding rows
+    train_mask: np.ndarray  # (vp,) float32
+    val_mask: np.ndarray
+    test_mask: np.ndarray
+    send_idx: np.ndarray  # (n_shards, max_h) int32 local rows to send to peer p
+    num_edges: int  # real edge count
+
+
+@dataclass
+class ShardedGraph:
+    shards: List[Shard]
+    n_shards: int
+    vp: int  # padded local vertex count (uniform)
+    ep: int  # padded local edge count (uniform)
+    max_h: int  # padded per-peer halo count (uniform)
+    num_vertices: int  # global |V|
+    num_edges: int  # global |E|
+    num_classes: int
+    denom: float  # |V_global| * TRAIN_PORTION
+
+    def stacked(self) -> dict:
+        """Stack per-shard arrays along a leading shard axis, the layout
+        consumed by shard_map with PartitionSpec('graph', ...)."""
+        f = lambda name: np.stack([getattr(s, name) for s in self.shards])
+        return {
+            "x": f("x"),
+            "onehot": f("onehot"),
+            "src": f("src"),
+            "dst": f("dst"),
+            "edge_val": f("edge_val"),
+            "self_val": f("self_val"),
+            "train_mask": f("train_mask"),
+            "val_mask": f("val_mask"),
+            "test_mask": f("test_mask"),
+            "send_idx": f("send_idx"),
+            "global_ids": f("global_ids"),
+        }
+
+
+def assign_partitions(
+    g: Graph,
+    n_shards: int,
+    method: str = "range",
+    parts: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Vertex -> shard assignment.
+
+    "range"  : contiguous blocks (the layout the reference's bsnap partition
+               files induce per node once METIS parts are applied);
+    "hash"   : v mod n;
+    "metis"  : caller-provided parts array (e.g. read from a
+               graph.bsnap.parts file written by inputs/partitioner.cpp).
+    """
+    v = g.num_vertices
+    if method == "metis":
+        assert parts is not None and parts.shape[0] == v
+        return parts.astype(np.int32)
+    if method == "hash":
+        return (np.arange(v) % n_shards).astype(np.int32)
+    if method == "range":
+        block = (v + n_shards - 1) // n_shards
+        return (np.arange(v) // block).astype(np.int32)
+    raise ValueError(f"unknown partition method {method}")
+
+
+def partition_graph(
+    g: Graph,
+    n_shards: int,
+    method: str = "range",
+    parts: Optional[np.ndarray] = None,
+    for_gat: bool = False,
+    pad_vertices_to: int = 8,
+    pad_edges_to: int = 128,
+    pad_halo_to: int = 8,
+) -> ShardedGraph:
+    """Build uniformly-padded shards + halo exchange plan."""
+    v_total = g.num_vertices
+    part = assign_partitions(g, n_shards, method, parts)
+
+    # Local vertex lists (sorted by global id => deterministic).
+    local_gids = [np.where(part == s)[0] for s in range(n_shards)]
+    local_index = np.full(v_total, -1, np.int64)  # global -> local row
+    for s in range(n_shards):
+        local_index[local_gids[s]] = np.arange(len(local_gids[s]))
+
+    edge_owner = part[g.dst]  # edges live with their destination shard
+    src_owner = part[g.src]
+
+    # Ghost lists: ghosts[s][p] = sorted global ids owned by p, needed by s.
+    ghosts = [[np.empty(0, np.int64)] * n_shards for _ in range(n_shards)]
+    for s in range(n_shards):
+        e_sel = edge_owner == s
+        for p in range(n_shards):
+            if p == s:
+                continue
+            need = np.unique(g.src[e_sel & (src_owner == p)])
+            ghosts[s][p] = need.astype(np.int64)
+
+    max_h = max(
+        (len(ghosts[s][p]) for s in range(n_shards) for p in range(n_shards)),
+        default=0,
+    )
+    max_h = max(_round_up(max(max_h, 1), pad_halo_to), pad_halo_to)
+
+    vp = max(len(ids) for ids in local_gids)
+    vp = _round_up(max(vp, 1), pad_vertices_to)
+    ep = max(int((edge_owner == s).sum()) for s in range(n_shards))
+    ep = _round_up(max(ep, 1), pad_edges_to)
+
+    train_end = int(v_total * TRAIN_PORTION)
+    val_end = train_end + int(v_total * VAL_PORTION)
+
+    feat_dim = g.features.shape[1]
+    num_classes = g.num_classes
+
+    shards: List[Shard] = []
+    for s in range(n_shards):
+        gids = local_gids[s]
+        n_local = len(gids)
+
+        x = np.zeros((vp, feat_dim), np.float32)
+        x[:n_local] = g.features[gids]
+        onehot = np.zeros((vp, num_classes), np.float32)
+        valid = g.labels[gids] >= 0
+        onehot[np.arange(n_local)[valid], g.labels[gids][valid]] = 1.0
+
+        gid_arr = np.full(vp, -1, np.int64)
+        gid_arr[:n_local] = gids
+
+        self_val = np.zeros(vp, np.float32)
+        self_val[:n_local] = g.self_norm[gids]
+
+        masks = np.zeros((3, vp), np.float32)
+        masks[0, :n_local] = (gids < train_end).astype(np.float32)
+        masks[1, :n_local] = ((gids >= train_end) & (gids < val_end)).astype(np.float32)
+        masks[2, :n_local] = (gids >= val_end).astype(np.float32)
+
+        # Edges owned by this shard; remap src -> feature-table index.
+        e_sel = np.where(edge_owner == s)[0]
+        e_src_g = g.src[e_sel]
+        e_dst_g = g.dst[e_sel]
+        e_val = (np.ones(len(e_sel), np.float32) if for_gat
+                 else g.edge_norm[e_sel])
+
+        src_idx = np.empty(len(e_sel), np.int64)
+        own = src_owner[e_sel] == s
+        src_idx[own] = local_index[e_src_g[own]]
+        for p in range(n_shards):
+            if p == s:
+                continue
+            sel = src_owner[e_sel] == p
+            if not sel.any():
+                continue
+            # Position of each ghost gid within the agreed (sorted) list.
+            pos = np.searchsorted(ghosts[s][p], e_src_g[sel])
+            src_idx[sel] = vp + p * max_h + pos
+
+        src_arr = np.zeros(ep, np.int32)
+        dst_arr = np.zeros(ep, np.int32)
+        val_arr = np.zeros(ep, np.float32)
+        src_arr[: len(e_sel)] = src_idx
+        dst_arr[: len(e_sel)] = local_index[e_dst_g]
+        val_arr[: len(e_sel)] = e_val
+
+        # send_idx[p] = local rows that peer p needs from us (= ghosts[p][s]),
+        # padded by repeating row 0 (receiver never addresses padded slots).
+        send = np.zeros((n_shards, max_h), np.int32)
+        for p in range(n_shards):
+            if p == s:
+                continue
+            rows = local_index[ghosts[p][s]]
+            send[p, : len(rows)] = rows
+
+        shards.append(
+            Shard(
+                shard_id=s,
+                num_local=n_local,
+                global_ids=gid_arr,
+                x=x,
+                onehot=onehot,
+                src=src_arr,
+                dst=dst_arr,
+                edge_val=val_arr,
+                self_val=self_val,
+                train_mask=masks[0],
+                val_mask=masks[1],
+                test_mask=masks[2],
+                send_idx=send,
+                num_edges=len(e_sel),
+            )
+        )
+
+    return ShardedGraph(
+        shards=shards,
+        n_shards=n_shards,
+        vp=vp,
+        ep=ep,
+        max_h=max_h,
+        num_vertices=v_total,
+        num_edges=g.num_edges,
+        num_classes=num_classes,
+        denom=v_total * TRAIN_PORTION,
+    )

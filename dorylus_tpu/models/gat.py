@@ -1,0 +1,102 @@
+"""GAT with Dorylus's (non-textbook) attention semantics.
+
+The reference GAT (funcs/gat/main.cpp + commmanager/CPU_comm.cpp:161-242,
+engine/ops/gat_ops.cpp) differs from standard GAT:
+
+  per layer l (NO hidden activation anywhere):
+    Z  = H · W_l                       (apply_vertex, CPU_comm.cpp:161-169)
+    az_e = <z_dst(e), a_l>             (apply_edge expandDot over CSC columns
+                                        = destination vertex only,
+                                        funcs/gat/ops/forward_ops.cpp:109-141)
+    A_e  = LeakyReLU(az_e), slope .01  (no per-neighbor softmax!)
+    AH_v = z_v + sum_{u->v} A_e * z_u  (aggregateGAT, gat_ops.cpp:173-243:
+                                        self contribution has weight 1)
+    H_{l+1} = AH                       (vtxNNForwardGAT reads layer l-1 "ah")
+
+  output: softmax(AH_last) row-wise. (predictGAT, gat_ops.cpp:247-265, reads
+  tensor "az" there — an out-of-bounds repurposing bug in the reference since
+  "az" is |E|x1; the intended input is the final aggregation "ah", which is
+  what we use.)
+
+Backward: the reference hand-derives an *approximate* attention gradient
+(da = Z^T Z · reduce(dAct)^T, CPU_comm.cpp:205-242); we instead get exact
+gradients from jax.grad of this forward. Loss uses the same masked softmax
+CE as GCN (the reference GAT path omits maskout/trainset scaling — another
+reference deviation we fix by intent).
+
+The reference also initializes an unused second attention vector "a_j"
+(weightserver.cpp:535-559); compute only ever pulls "a_i", so we keep one.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from dorylus_tpu.common.config import LayerConfig
+from dorylus_tpu.models import init as winit
+from dorylus_tpu.models.base import GraphBatch, Params
+from dorylus_tpu.models.gcn import HaloFn
+from dorylus_tpu.ops.activations import leaky_relu, masked_softmax_xent, row_softmax
+from dorylus_tpu.ops.spmm import spmm_edgewise
+
+
+class GAT:
+    def __init__(self, layers: LayerConfig):
+        self.layers = layers
+
+    def init_params(self, seed: int = 8888, exact_reference: bool = True) -> Params:
+        """w: xavier; a_i: kaiming — initWeightsMasterGAT
+        (weightserver.cpp:535-559)."""
+        params: Params = {}
+        dims = self.layers.dims
+        for l in range(len(dims) - 1):
+            params[f"w{l}"] = jnp.asarray(
+                winit.xavier(dims[l], dims[l + 1], seed=seed,
+                             exact=exact_reference or None))
+            params[f"a{l}"] = jnp.asarray(
+                winit.kaiming_reference(dims[l + 1], 1, seed=seed))
+        return params
+
+    def forward(
+        self,
+        params: Params,
+        batch: GraphBatch,
+        halo: Optional[HaloFn] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
+        return_intermediates: bool = False,
+    ):
+        num_layers = self.layers.num_layers
+        h = batch.x.astype(compute_dtype)
+        # For GAT, batch.edge_val is a {0,1} mask (padding edges 0); the
+        # graph norm factors are not used (attention provides edge weights).
+        edge_mask = batch.edge_val.astype(compute_dtype)
+        inter = []
+        for l in range(num_layers):
+            z = jnp.dot(h, params[f"w{l}"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+            table = halo(z) if halo is not None else z
+            # Attention logits from the *destination* vertex only
+            # (edgeMatMul iterates CSC columns = dst; forward_ops.cpp:109-141).
+            za = jnp.dot(z, params[f"a{l}"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32)[:, 0]  # (Vp,)
+            az = za[batch.dst]  # (Ep,)
+            att = leaky_relu(az) * edge_mask
+            agg = spmm_edgewise(table, batch.src, batch.dst, att, z.shape[0])
+            h = z + agg
+            if return_intermediates:
+                inter.append((z, az, att, h))
+        if return_intermediates:
+            return h, inter
+        return h
+
+    def loss(self, params: Params, batch: GraphBatch,
+             halo: Optional[HaloFn] = None,
+             compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+        logits = self.forward(params, batch, halo, compute_dtype)
+        return masked_softmax_xent(logits, batch.onehot, batch.train_mask, batch.denom)
+
+    def predict(self, params: Params, batch: GraphBatch,
+                halo: Optional[HaloFn] = None) -> jnp.ndarray:
+        return row_softmax(self.forward(params, batch, halo))

@@ -1,0 +1,83 @@
+"""GCN with Dorylus-exact semantics, TPU-native execution.
+
+Forward per layer (reference: funcs/gcn/main.cpp forwardLayer :215-270):
+    AH = S · H          (aggregation, ops/spmm.py — Gather phase)
+    Z  = AH · W         (MXU matmul — the Lambda ApplyVertex phase, fused)
+    H  = tanh(Z)        (hidden layers; final layer feeds softmax CE)
+
+Final layer + loss (funcs/gcn/main.cpp finalLayer :47-133): softmax CE over
+train rows scaled by 1/(|V_global|·0.66). The backward pass — the
+reference's hand-written backwardLayer chain (tanh' ⊙ grad, dW = AHᵀ·dZ,
+grad = dZ·Wᵀ) and backward aggregation over the transposed adjacency — is
+obtained by jax.grad of this forward, which produces the same math.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dorylus_tpu.common.config import LayerConfig
+from dorylus_tpu.models import init as winit
+from dorylus_tpu.models.base import GraphBatch, Params
+from dorylus_tpu.ops.activations import masked_softmax_xent, row_softmax
+from dorylus_tpu.ops.spmm import aggregate
+
+HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
+# A HaloFn maps local H -> feature table (local rows + received ghost rows).
+# Single-device: identity. Sharded: parallel.halo.halo_exchange.
+
+
+class GCN:
+    def __init__(self, layers: LayerConfig):
+        self.layers = layers
+
+    def init_params(self, seed: int = 8888, exact_reference: bool = True) -> Params:
+        """Per-layer xavier weights, each from a fresh engine with a fixed
+        seed — matching WeightServer::initWeightsMasterGCN
+        (weightserver.cpp:516-532)."""
+        params: Params = {}
+        dims = self.layers.dims
+        for l in range(len(dims) - 1):
+            w = winit.xavier(dims[l], dims[l + 1], seed=seed, exact=exact_reference or None)
+            params[f"w{l}"] = jnp.asarray(w)
+        return params
+
+    def forward(
+        self,
+        params: Params,
+        batch: GraphBatch,
+        halo: Optional[HaloFn] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
+        return_intermediates: bool = False,
+    ):
+        """Returns logits (Vp, C); with return_intermediates, also the list
+        of (ah, z, h) per layer for oracle tests."""
+        num_layers = self.layers.num_layers
+        h = batch.x.astype(compute_dtype)
+        inter = []
+        for l in range(num_layers):
+            table = halo(h) if halo is not None else h
+            ah = aggregate(h, batch.src, batch.dst, batch.edge_val,
+                           batch.self_val, h_table=table)
+            z = jnp.dot(ah, params[f"w{l}"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+            h = jnp.tanh(z) if l < num_layers - 1 else z
+            if return_intermediates:
+                inter.append((ah, z, h))
+        if return_intermediates:
+            return h, inter
+        return h
+
+    def loss(self, params: Params, batch: GraphBatch,
+             halo: Optional[HaloFn] = None,
+             compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+        logits = self.forward(params, batch, halo, compute_dtype)
+        return masked_softmax_xent(logits, batch.onehot, batch.train_mask, batch.denom)
+
+    def predict(self, params: Params, batch: GraphBatch,
+                halo: Optional[HaloFn] = None) -> jnp.ndarray:
+        return row_softmax(self.forward(params, batch, halo))

@@ -1,0 +1,79 @@
+"""Multi-device sharded training on the virtual 8-CPU mesh: the sharded
+engine (halo exchange + psum) must reproduce single-device results."""
+
+import jax
+import numpy as np
+import pytest
+
+from dorylus_tpu.common.config import LayerConfig, TrainConfig
+from dorylus_tpu.engine.engine import Engine
+from dorylus_tpu.graph.graph import synthetic_graph
+from dorylus_tpu.graph.partition import partition_graph
+from dorylus_tpu.parallel.mesh import make_mesh
+from dorylus_tpu.parallel.train_step import ShardedEngine
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 devices (virtual CPU mesh)")
+
+
+def test_partition_roundtrip():
+    """Every real edge appears exactly once across shards; ghost indexing
+    reconstructs the right source features."""
+    g = synthetic_graph(300, 6, 8, 4, seed=5)
+    sg = partition_graph(g, 4, method="range")
+    total_edges = sum(s.num_edges for s in sg.shards)
+    assert total_edges == g.num_edges
+    # Reconstruct aggregation through the halo plan in numpy and compare
+    # against the dense oracle.
+    h = g.features.astype(np.float64)
+    S = g.dense_norm_adj()
+    want = S @ h
+    got = np.zeros_like(want)
+    n, vp, mh = sg.n_shards, sg.vp, sg.max_h
+    # Build each shard's feature table the way halo_exchange would.
+    tables = []
+    for s in sg.shards:
+        table = np.zeros((vp + n * mh, h.shape[1]))
+        table[:vp] = np.where(s.global_ids[:, None] >= 0, h[np.maximum(s.global_ids, 0)], 0)
+        for p_id, p in enumerate(sg.shards):
+            rows = p.send_idx[s.shard_id]
+            table[vp + p_id * mh: vp + (p_id + 1) * mh] = np.where(
+                p.global_ids[rows][:, None] >= 0, h[np.maximum(p.global_ids[rows], 0)], 0)
+        tables.append(table)
+    for s, table in zip(sg.shards, tables):
+        agg = np.zeros((vp, h.shape[1]))
+        np.add.at(agg, s.dst, s.edge_val[:, None] * table[s.src])
+        agg += s.self_val[:, None] * table[:vp]
+        real = s.global_ids >= 0
+        got[s.global_ids[real]] = agg[real]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["range", "hash"])
+def test_sharded_matches_single_device(method):
+    g = synthetic_graph(400, 6, 16, 5, seed=13)
+    layers = LayerConfig([16, 8, 5])
+    cfg = TrainConfig(epochs=5, eval_every=5)
+
+    single = Engine(g, layers, cfg)
+    r1 = single.run()
+
+    mesh = make_mesh(8)
+    sharded = ShardedEngine(g, layers, cfg, mesh=mesh, partition_method=method)
+    r2 = sharded.run()
+
+    # Loss trajectories must agree to float tolerance.
+    for e1, e2 in zip(r1.epochs, r2.epochs):
+        np.testing.assert_allclose(e1.loss, e2.loss, rtol=2e-4, atol=1e-6)
+    assert abs(r1.final_accuracy - r2.final_accuracy) < 0.03
+
+
+def test_sharded_gat_matches_single_device():
+    g = synthetic_graph(240, 5, 12, 4, seed=17)
+    layers = LayerConfig([12, 8, 4])
+    cfg = TrainConfig(model="gat", epochs=4, eval_every=4, learning_rate=0.005)
+
+    r1 = Engine(g, layers, cfg).run()
+    r2 = ShardedEngine(g, layers, cfg, mesh=make_mesh(4)).run()
+    for e1, e2 in zip(r1.epochs, r2.epochs):
+        np.testing.assert_allclose(e1.loss, e2.loss, rtol=5e-4, atol=1e-6)
