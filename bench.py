@@ -1,0 +1,135 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline metric: SpMM-aggregation edges/s/chip on a Reddit-shaped graph
+(|V|=233k, ~23M directed edges, F=128 — the hidden dim of run/reddit.config),
+which is the reference's north-star kernel (the Gather phase that dominates
+its graph servers). vs_baseline is measured against a scipy CSR SpMM on this
+host's CPU — the in-repo analog of the reference's CPU backend
+(--MODE 2, OpenBLAS/OpenMP whole-layer aggregation), since the reference
+repo publishes no absolute numbers (BASELINE.md).
+
+Extra fields report the full training-epoch time for the Reddit-config GCN
+(602-128-41) on the same graph.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_graph(num_vertices: int, avg_degree: int, feature_dim: int,
+                num_classes: int, seed: int = 0):
+    """Random directed graph in CSC order, without the O(E log E) dedup of
+    synthetic_graph (benchmark scale)."""
+    from dorylus_tpu.graph.graph import Graph
+
+    rng = np.random.default_rng(seed)
+    e = num_vertices * avg_degree
+    src = rng.integers(0, num_vertices, size=e, dtype=np.int64).astype(np.int32)
+    dst = rng.integers(0, num_vertices, size=e, dtype=np.int64).astype(np.int32)
+    g = Graph(
+        num_vertices=num_vertices, src=src, dst=dst,
+        features=rng.normal(0, 1, size=(num_vertices, feature_dim)).astype(np.float32),
+        labels=rng.integers(0, num_classes, size=num_vertices).astype(np.int32),
+        num_classes=num_classes,
+    )
+    return g.finalize()
+
+
+def time_loop(fn, h, *rest, iters: int = 10):
+    """Time `iters` chained applications inside ONE jit (lax.fori_loop), then
+    force a host transfer: remote/async backends (axon tunnel) return from
+    block_until_ready early, so a scalar readback is the only honest sync."""
+    import jax
+
+    @jax.jit
+    def loop(h, *rest):
+        def body(i, x):
+            return fn(x, *rest)
+        return jax.lax.fori_loop(0, iters, body, h)
+
+    out = loop(h, *rest)
+    float(out.ravel()[0])  # compile + warmup
+    t0 = time.perf_counter()
+    out = loop(h, *rest)
+    float(out.ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def cpu_spmm_baseline(g, h: np.ndarray, iters: int = 3) -> float:
+    """scipy CSR SpMM — the reference CPU backend's aggregation analog."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(
+        (g.edge_norm, (g.dst, g.src)), shape=(g.num_vertices, g.num_vertices))
+    A @ h  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = A @ h
+    dt = (time.perf_counter() - t0) / iters
+    del out
+    return g.num_edges / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.ops.spmm import spmm_edgewise
+
+    platform = jax.devices()[0].platform
+    # Scale down when falling back to CPU (no TPU attached).
+    on_tpu = platform not in ("cpu",)
+    V = 232_965 if on_tpu else 23_296  # Reddit |V| (graph.bsnap)
+    DEG = 50 if on_tpu else 20
+    F_HID = 128
+
+    g = build_graph(V, DEG, 602, 41, seed=1)
+    E = g.num_edges
+
+    # --- headline: SpMM aggregation at hidden width ---
+    h = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, size=(V, F_HID)).astype(np.float32))
+    src = jnp.asarray(g.src)
+    dst = jnp.asarray(g.dst)
+    val = jnp.asarray(g.edge_norm)
+
+    def agg(h, src, dst, val):
+        return spmm_edgewise(h, src, dst, val, V, sorted_dst=True)
+
+    dt = time_loop(agg, h, src, dst, val, iters=10 if on_tpu else 3)
+    edges_per_s = E / dt
+
+    # --- baseline: host-CPU scipy CSR SpMM (reference CPU-mode analog) ---
+    cpu_eps = cpu_spmm_baseline(g, np.asarray(h))
+
+    # --- extra: full GCN training epoch (Reddit config 602-128-41) ---
+    cfg = TrainConfig(epochs=3, eval_every=0)
+    eng = Engine(g, LayerConfig([602, 128, 41]), cfg)
+    rep = eng.run(3)
+    epoch_ms = rep.epochs[-1].time_ms
+
+    print(json.dumps({
+        "metric": "spmm_aggregation_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / cpu_eps, 3),
+        "extras": {
+            "platform": platform,
+            "num_vertices": V,
+            "num_edges": E,
+            "feature_dim": F_HID,
+            "spmm_ms": round(dt * 1e3, 3),
+            "cpu_scipy_edges_per_s": round(cpu_eps, 1),
+            "gcn_reddit_config_epoch_ms": round(epoch_ms, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Command-line interface.
+
+Mirrors the reference's operational surface:
+  train        — the graph-server + weight-server run (run/run-onnode:154-181
+                 flag set: --dataset --epochs --learning_rate --staleness ...)
+  prepare-data — the inputs/prepare pipeline (text -> bsnap dataset dir)
+  partition    — write a parts file (stand-in for inputs/partitioner METIS)
+  bench        — kernel/epoch benchmark (analog of benchmarks/run-*)
+
+Examples:
+  python -m dorylus_tpu.cli train --dataset synthetic --model gcn --epochs 50
+  python -m dorylus_tpu.cli train --data-dir data/cora --config cora --shards 4
+  python -m dorylus_tpu.cli prepare-data --edges g.txt --features f.txt \
+      --labels l.txt --out data/mygraph --feature-dim 128 --classes 7
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", default="synthetic",
+                   help="synthetic | name of a preset config (cora/reddit/...)")
+    p.add_argument("--data-dir", default=None,
+                   help="directory with graph.bsnap/features.bsnap/labels.bsnap")
+    p.add_argument("--config", default=None,
+                   help="layer preset name or path to a *.config file")
+    p.add_argument("--model", default="gcn", choices=["gcn", "gat"])
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--learning-rate", type=float, default=0.01)
+    p.add_argument("--target-acc", type=float, default=None)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--shards", type=int, default=1,
+                   help="vertex shards over the device mesh (1 = single chip)")
+    p.add_argument("--partition", default="range",
+                   choices=["range", "hash", "metis"])
+    p.add_argument("--parts-file", default=None,
+                   help="METIS-style parts file (with --partition metis)")
+    p.add_argument("--edge-chunk", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--staleness", type=int, default=None,
+                   help="accepted for reference-CLI parity; TPU engine is "
+                        "synchronous SPMD (see SURVEY §2.2)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output", default=None, help="report file (output_<node>)")
+    # synthetic graph knobs
+    p.add_argument("--synth-vertices", type=int, default=10000)
+    p.add_argument("--synth-degree", type=int, default=10)
+
+
+def cmd_train(args) -> int:
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.common.logging import log
+
+    cfg = TrainConfig(
+        model=args.model, epochs=args.epochs, learning_rate=args.learning_rate,
+        target_accuracy=args.target_acc, eval_every=args.eval_every,
+        num_shards=args.shards, edge_chunk=args.edge_chunk,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        staleness=args.staleness,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume,
+    )
+
+    # Layer config resolution: explicit file > preset name > dataset preset.
+    if args.config and args.config in LayerConfig.PRESETS:
+        layers = LayerConfig.preset(args.config)
+    elif args.config:
+        layers = LayerConfig.from_file(args.config)
+    elif args.dataset in LayerConfig.PRESETS:
+        layers = LayerConfig.preset(args.dataset)
+    else:
+        layers = None  # derive from data below
+
+    if args.data_dir:
+        from dorylus_tpu.graph.dataio import load_dataset
+        g = load_dataset(args.data_dir,
+                         feature_dim=layers.feature_dim if layers else None)
+    else:
+        from dorylus_tpu.graph.graph import synthetic_graph
+        fdim = layers.feature_dim if layers else 32
+        ncls = layers.num_classes if layers else 8
+        g = synthetic_graph(args.synth_vertices, args.synth_degree, fdim, ncls,
+                            seed=8888)
+    if layers is None:
+        layers = LayerConfig([g.features.shape[1], 64, g.num_classes])
+
+    log("dataset: %d vertices, %d edges, %d classes; layers %s; model %s",
+        g.num_vertices, g.num_edges, g.num_classes, layers.dims, cfg.model)
+
+    parts = None
+    if args.parts_file:
+        from dorylus_tpu.graph.dataio import read_parts_file
+        parts = read_parts_file(args.parts_file)
+
+    if args.shards > 1:
+        from dorylus_tpu.parallel.train_step import ShardedEngine
+        eng = ShardedEngine(g, layers, cfg, partition_method=args.partition,
+                            parts=parts)
+    else:
+        from dorylus_tpu.engine.engine import Engine
+        eng = Engine(g, layers, cfg)
+
+    report = eng.run()
+    print(report.summary())
+    if args.output:
+        report.write(args.output)
+        log("report written to %s", args.output)
+    return 0
+
+
+def cmd_prepare(args) -> int:
+    from dorylus_tpu.graph.dataio import prepare_from_text
+
+    g = prepare_from_text(args.edges, args.features, args.labels, args.out,
+                          feature_dim=args.feature_dim,
+                          label_kinds=args.classes,
+                          undirected=not args.directed)
+    print(json.dumps({"vertices": g.num_vertices, "edges": g.num_edges,
+                      "classes": g.num_classes, "out": args.out}))
+    return 0
+
+
+def cmd_partition(args) -> int:
+    import numpy as np
+
+    from dorylus_tpu.graph.dataio import (load_dataset, read_graph_bsnap,
+                                          write_parts_file)
+    from dorylus_tpu.graph.partition import assign_partitions
+    from dorylus_tpu.graph.graph import Graph
+
+    src, dst, num_v = read_graph_bsnap(args.graph)
+    g = Graph(num_vertices=num_v, src=src, dst=dst,
+              features=np.zeros((num_v, 1), np.float32),
+              labels=np.zeros(num_v, np.int32), num_classes=1).finalize()
+    parts = assign_partitions(g, args.n, method=args.method)
+    write_parts_file(args.out or (args.graph + ".parts"), parts)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="dorylus_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a model")
+    _add_train_args(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("prepare-data", help="text -> binary dataset dir")
+    p.add_argument("--edges", required=True)
+    p.add_argument("--features", required=True)
+    p.add_argument("--labels", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--feature-dim", type=int, required=True)
+    p.add_argument("--classes", type=int, required=True)
+    p.add_argument("--directed", action="store_true")
+    p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser("partition", help="write a parts file")
+    p.add_argument("--graph", required=True, help="graph.bsnap path")
+    p.add_argument("--n", type=int, required=True)
+    p.add_argument("--method", default="range", choices=["range", "hash"])
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_partition)
+
+    p = sub.add_parser("bench", help="run the benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,6 +103,10 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # flip to bfloat16 for speed at scale
 
+    # Aggregation kernel knobs
+    edge_chunk: int = 0  # SpMM edge-chunk size; 0 = unchunked
+    optimize_order: bool = True  # transform-before-aggregate when it shrinks F
+
     # Checkpointing (an improvement over the reference, which has none).
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # 0 = disabled

@@ -42,12 +42,34 @@ class Engine:
         self.graph = graph
         self.layers = layers
         self.cfg = cfg
-        self.model = GCN(layers) if cfg.model == "gcn" else GAT(layers)
+        self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
+                          optimize_order=cfg.optimize_order)
+                      if cfg.model == "gcn"
+                      else GAT(layers, edge_chunk=cfg.edge_chunk))
         self.batch = build_batch(graph, for_gat=cfg.model == "gat")
         self.params = self.model.init_params(seed=cfg.seed)
         self.opt_state = adam_init(self.params) if cfg.adam else None
         self.report = RunReport()
         self._compiled = None
+        self.start_epoch = 0
+        if cfg.resume and cfg.checkpoint_dir:
+            from dorylus_tpu.engine.checkpoint import latest_checkpoint, load_checkpoint
+            path = latest_checkpoint(cfg.checkpoint_dir)
+            if path is not None:
+                ck = load_checkpoint(path)
+                self.params = jax.tree.map(jnp.asarray, ck["params"])
+                if ck["opt_state"] is not None and cfg.adam:
+                    self.opt_state = jax.tree.map(jnp.asarray, ck["opt_state"])
+                self.start_epoch = int(ck["step"])
+                log("resumed from %s (epoch %d)", path, self.start_epoch)
+
+    def _maybe_checkpoint(self, epoch: int) -> None:
+        cfg = self.cfg
+        if (cfg.checkpoint_dir and cfg.checkpoint_every
+                and (epoch + 1) % cfg.checkpoint_every == 0):
+            from dorylus_tpu.engine.checkpoint import save_checkpoint
+            save_checkpoint(cfg.checkpoint_dir, epoch + 1, self.params,
+                            self.opt_state)
 
     # ---- compiled steps ----
 
@@ -91,21 +113,23 @@ class Engine:
             t0 = time.perf_counter()
             self.params, self.opt_state, loss = step(
                 self.params, self.opt_state, self.batch)
+            # float() forces a host transfer — the only reliable sync on
+            # remote/async backends (block_until_ready can return early).
+            loss_f = float(loss)
+            dt_ms = 1e3 * (time.perf_counter() - t0)
             acc = None
+            val_loss = None
             if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == epochs - 1):
                 correct, loss_sum, count = evaluate(
                     self.params, self.batch, self.batch.val_mask)
                 acc = float(correct) / max(1.0, float(count))
                 val_loss = float(loss_sum) / max(1.0, float(count))
-            else:
-                jax.block_until_ready(loss)
-                val_loss = None
-            dt_ms = 1e3 * (time.perf_counter() - t0)
-            self.report.add_epoch(EpochRecord(epoch, dt_ms, loss=float(loss), accuracy=acc))
+            self.report.add_epoch(EpochRecord(epoch, dt_ms, loss=loss_f, accuracy=acc))
+            self._maybe_checkpoint(epoch)
             if acc is not None:
                 # Per-epoch line like the WS master (weightserver.cpp:258-262).
                 log("Epoch %d: %.2f ms, train loss %.4f, val acc %.4f, val loss %.4f",
-                    epoch, dt_ms, float(loss), acc, val_loss)
+                    epoch, dt_ms, loss_f, acc, val_loss)
             # Early stop (converge state machine, weightserver.cpp:270-294).
             if cfg.target_accuracy is not None and acc is not None:
                 if acc >= cfg.target_accuracy:

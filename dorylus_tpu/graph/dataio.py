@@ -1,0 +1,155 @@
+"""Dataset IO: the reference's on-disk binary formats + text converters.
+
+Formats (all little-endian, from /root/reference/inputs):
+  graph.bsnap    — header {int32 sizeOfVertexType(=4), uint32 numVertices,
+                   pad to 8, uint64 numEdges} then (src,dst) uint32 pairs
+                   (graphToBinary.cpp:15-19,76,94-99)
+  features.bsnap — header {uint32 numFeatures} then float32 row-major
+                   (featuresToBinary.cpp:20-23,44-64)
+  labels.bsnap   — header {uint32 labelKinds} then uint32 per vertex
+                   (labelsToBinary.cpp:18-21,44-57)
+  *.parts        — text, one partition id per line (METIS output consumed
+                   by the reference's DataLoader::readPartsFile)
+
+The reference's per-node preprocessed cache (graph.<id>.bin,
+graph.cpp:7-115) is not reproduced byte-for-byte: partitioning here
+produces padded TPU shards directly (graph/partition.py). Loading the
+*source* formats means every dataset prepared for the reference loads
+unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from dorylus_tpu.graph.graph import Graph
+
+# C struct {int; unsigned; unsigned long long} on LP64: uint64 lands at
+# offset 8 (already aligned), so sizeof == 16 with no padding.
+_GRAPH_HDR = struct.Struct("<iIQ")  # sizeOfVertexType, numVertices, numEdges
+
+
+def write_graph_bsnap(path: str | Path, src: np.ndarray, dst: np.ndarray,
+                      num_vertices: int) -> None:
+    with open(path, "wb") as f:
+        f.write(_GRAPH_HDR.pack(4, num_vertices, len(src)))
+        pairs = np.empty((len(src), 2), dtype="<u4")
+        pairs[:, 0] = src
+        pairs[:, 1] = dst
+        f.write(pairs.tobytes())
+
+
+def read_graph_bsnap(path: str | Path) -> tuple[np.ndarray, np.ndarray, int]:
+    """Returns (src, dst, num_vertices)."""
+    raw = Path(path).read_bytes()
+    size_of_vtx, num_v, num_e = _GRAPH_HDR.unpack_from(raw, 0)
+    off = _GRAPH_HDR.size
+    assert size_of_vtx == 4, f"unsupported vertex width {size_of_vtx}"
+    pairs = np.frombuffer(raw, dtype="<u4", offset=off)
+    pairs = pairs[: 2 * num_e].reshape(-1, 2)
+    return (pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32), int(num_v))
+
+
+def write_features_bsnap(path: str | Path, feats: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", feats.shape[1]))
+        f.write(np.ascontiguousarray(feats, dtype="<f4").tobytes())
+
+
+def read_features_bsnap(path: str | Path, feature_dim: Optional[int] = None
+                        ) -> np.ndarray:
+    raw = Path(path).read_bytes()
+    (hdr_dim,) = struct.unpack_from("<I", raw, 0)
+    dim = hdr_dim or feature_dim
+    assert dim, "feature dim not in header; pass feature_dim"
+    flat = np.frombuffer(raw, dtype="<f4", offset=4)
+    assert flat.size % dim == 0, (flat.size, dim)
+    return flat.reshape(-1, dim).astype(np.float32)
+
+
+def write_labels_bsnap(path: str | Path, labels: np.ndarray,
+                       label_kinds: int) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", label_kinds))
+        f.write(np.ascontiguousarray(labels, dtype="<u4").tobytes())
+
+
+def read_labels_bsnap(path: str | Path) -> tuple[np.ndarray, int]:
+    raw = Path(path).read_bytes()
+    (kinds,) = struct.unpack_from("<I", raw, 0)
+    labels = np.frombuffer(raw, dtype="<u4", offset=4).astype(np.int32)
+    return labels, int(kinds)
+
+
+def read_parts_file(path: str | Path) -> np.ndarray:
+    """METIS-style parts file: one partition id per line."""
+    return np.loadtxt(path, dtype=np.int32).reshape(-1)
+
+
+def write_parts_file(path: str | Path, parts: np.ndarray) -> None:
+    np.savetxt(path, parts.reshape(-1, 1), fmt="%d")
+
+
+def read_text_edges(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Text snap edge list (skip '#'/'%' comments, drop self loops) —
+    graphToBinary.cpp:readFile semantics."""
+    srcs, dsts = [], []
+    with open(path) as f:
+        for line in f:
+            if not line.strip() or line[0] in "#%":
+                continue
+            parts = line.split()
+            s, d = int(parts[0]), int(parts[1])
+            if s == d:
+                continue
+            srcs.append(s)
+            dsts.append(d)
+    return np.asarray(srcs, np.int32), np.asarray(dsts, np.int32)
+
+
+def load_dataset(data_dir: str | Path, undirected: bool = True,
+                 feature_dim: Optional[int] = None) -> Graph:
+    """Load a reference-format dataset directory:
+    graph.bsnap + features.bsnap + labels.bsnap (the layout inputs/prepare
+    produces and gnnman/send-dataset ships to each node)."""
+    d = Path(data_dir)
+    src, dst, num_v = read_graph_bsnap(d / "graph.bsnap")
+    feats = read_features_bsnap(d / "features.bsnap", feature_dim)
+    labels, kinds = read_labels_bsnap(d / "labels.bsnap")
+    assert feats.shape[0] >= num_v, (feats.shape, num_v)
+    if undirected:
+        src, dst = Graph.make_undirected(src, dst)
+    g = Graph(num_vertices=num_v, src=src, dst=dst,
+              features=feats[:num_v], labels=labels[:num_v], num_classes=kinds)
+    return g.finalize()
+
+
+def save_dataset(data_dir: str | Path, g: Graph) -> None:
+    d = Path(data_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    write_graph_bsnap(d / "graph.bsnap", g.src, g.dst, g.num_vertices)
+    write_features_bsnap(d / "features.bsnap", g.features)
+    write_labels_bsnap(d / "labels.bsnap", g.labels, g.num_classes)
+
+
+def prepare_from_text(edge_file: str | Path, features_file: str | Path,
+                      labels_file: str | Path, out_dir: str | Path,
+                      feature_dim: int, label_kinds: int,
+                      undirected: bool = True) -> Graph:
+    """The inputs/prepare pipeline: text -> binary dataset dir."""
+    src, dst = read_text_edges(edge_file)
+    num_v = int(max(src.max(), dst.max())) + 1
+    feats = np.loadtxt(features_file, dtype=np.float32, delimiter=None)
+    feats = feats.reshape(-1, feature_dim)
+    labels = np.loadtxt(labels_file, dtype=np.int64).astype(np.int32).reshape(-1)
+    g = Graph(num_vertices=num_v, src=src, dst=dst, features=feats[:num_v],
+              labels=labels[:num_v], num_classes=label_kinds)
+    if undirected:
+        g.src, g.dst = Graph.make_undirected(g.src, g.dst)
+    g.finalize()
+    save_dataset(out_dir, g)
+    return g

@@ -44,10 +44,16 @@ class Graph:
         return int(self.src.shape[0])
 
     def finalize(self) -> "Graph":
-        """Compute degrees + GCN normalization values."""
+        """Sort edges into CSC order (by dst) and compute degrees + GCN
+        normalization values. CSC ordering mirrors the reference's
+        forwardAdj layout (graph.hpp:96-98) and enables sorted segment
+        sums on TPU."""
         v = self.num_vertices
         self.src = np.asarray(self.src, dtype=np.int32)
         self.dst = np.asarray(self.dst, dtype=np.int32)
+        order = np.argsort(self.dst, kind="stable")
+        self.src = self.src[order]
+        self.dst = self.dst[order]
         self.in_degree = np.bincount(self.dst, minlength=v).astype(np.int64)
         deg = (self.in_degree + 1).astype(np.float64)
         inv_sqrt = deg ** -0.5

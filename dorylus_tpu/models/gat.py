@@ -43,8 +43,11 @@ from dorylus_tpu.ops.spmm import spmm_edgewise
 
 
 class GAT:
-    def __init__(self, layers: LayerConfig):
+    def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
+                 edge_chunk: int = 0):
         self.layers = layers
+        self.sorted_dst = sorted_dst
+        self.edge_chunk = edge_chunk
 
     def init_params(self, seed: int = 8888, exact_reference: bool = True) -> Params:
         """w: xavier; a_i: kaiming — initWeightsMasterGAT
@@ -83,7 +86,9 @@ class GAT:
                          preferred_element_type=jnp.float32)[:, 0]  # (Vp,)
             az = za[batch.dst]  # (Ep,)
             att = leaky_relu(az) * edge_mask
-            agg = spmm_edgewise(table, batch.src, batch.dst, att, z.shape[0])
+            agg = spmm_edgewise(table, batch.src, batch.dst, att, z.shape[0],
+                                sorted_dst=self.sorted_dst,
+                                edge_chunk=self.edge_chunk)
             h = z + agg
             if return_intermediates:
                 inter.append((z, az, att, h))

@@ -32,8 +32,26 @@ HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
 
 
 class GCN:
-    def __init__(self, layers: LayerConfig):
+    def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
+                 edge_chunk: int = 0, optimize_order: bool = True):
+        """sorted_dst: edge arrays are CSC-ordered (dst ascending) — both
+        build_batch and partition_graph guarantee this.
+
+        edge_chunk: SpMM edge-chunk size (0 = no chunking); bound memory on
+        Reddit/Friendster-scale graphs.
+
+        optimize_order: exploit (S·H)·W == S·(H·W): when a layer shrinks the
+        feature dim, transform *before* aggregating — fewer SpMM bytes and
+        (sharded) F_out-wide instead of F_in-wide halo exchange. The
+        reference is locked into aggregate-first because its Lambdas need
+        "ah" materialized; on TPU the order is free. Disabled automatically
+        when return_intermediates=True so oracle tests see the reference's
+        tensor order.
+        """
         self.layers = layers
+        self.sorted_dst = sorted_dst
+        self.edge_chunk = edge_chunk
+        self.optimize_order = optimize_order
 
     def init_params(self, seed: int = 8888, exact_reference: bool = True) -> Params:
         """Per-layer xavier weights, each from a fresh engine with a fixed
@@ -60,11 +78,23 @@ class GCN:
         h = batch.x.astype(compute_dtype)
         inter = []
         for l in range(num_layers):
-            table = halo(h) if halo is not None else h
-            ah = aggregate(h, batch.src, batch.dst, batch.edge_val,
-                           batch.self_val, h_table=table)
-            z = jnp.dot(ah, params[f"w{l}"].astype(compute_dtype),
-                        preferred_element_type=jnp.float32)
+            w = params[f"w{l}"].astype(compute_dtype)
+            transform_first = (self.optimize_order and not return_intermediates
+                               and w.shape[0] > w.shape[1])
+            if transform_first:
+                hw = jnp.dot(h, w, preferred_element_type=jnp.float32)
+                table = halo(hw) if halo is not None else hw
+                z = aggregate(hw, batch.src, batch.dst, batch.edge_val,
+                              batch.self_val, h_table=table,
+                              sorted_dst=self.sorted_dst,
+                              edge_chunk=self.edge_chunk)
+            else:
+                table = halo(h) if halo is not None else h
+                ah = aggregate(h, batch.src, batch.dst, batch.edge_val,
+                               batch.self_val, h_table=table,
+                               sorted_dst=self.sorted_dst,
+                               edge_chunk=self.edge_chunk)
+                z = jnp.dot(ah, w, preferred_element_type=jnp.float32)
             h = jnp.tanh(z) if l < num_layers - 1 else z
             if return_intermediates:
                 inter.append((ah, z, h))

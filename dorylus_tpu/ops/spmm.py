@@ -24,14 +24,46 @@ def spmm_edgewise(
     dst: jnp.ndarray,  # (E,) int32 indices into [0, num_out)
     edge_val: jnp.ndarray,  # (E,) float edge weights (norms or attention)
     num_out: int,
+    sorted_dst: bool = False,
+    edge_chunk: int = 0,
 ) -> jnp.ndarray:
     """out[v] = sum_{e: dst[e]=v} edge_val[e] * h[src[e]].
 
     Padding convention: pad edges with edge_val = 0 (src/dst pointing at any
     valid index); zero weights make padding a no-op in fwd and bwd.
+
+    sorted_dst: edges are sorted by dst (CSC order, how the reference stores
+    forwardAdj) — lets XLA use the fast sorted-segment path.
+
+    edge_chunk > 0: process edges in chunks of that size under lax.scan so
+    the gathered message tensor (|E|, F) is never materialized — required
+    for Reddit/Friendster-scale graphs where |E|·F·4B >> HBM. The chunk
+    grid is the TPU analog of the reference's per-lambda edge chunks
+    (lambdaworker.cpp:376-388).
     """
+    if edge_chunk and src.shape[0] > edge_chunk:
+        e = src.shape[0]
+        n_chunks = -(-e // edge_chunk)
+        pad = n_chunks * edge_chunk - e
+        if pad:
+            src = jnp.concatenate([src, jnp.zeros(pad, src.dtype)])
+            dst = jnp.concatenate([dst, jnp.zeros(pad, dst.dtype)])
+            edge_val = jnp.concatenate([edge_val, jnp.zeros(pad, edge_val.dtype)])
+        chunks = (src.reshape(n_chunks, -1), dst.reshape(n_chunks, -1),
+                  edge_val.reshape(n_chunks, -1))
+
+        def body(out, ch):
+            s, d, v = ch
+            msgs = h[s] * v[:, None].astype(h.dtype)
+            return out.at[d].add(msgs), None
+
+        init = jnp.zeros((num_out, h.shape[1]), h.dtype)
+        out, _ = jax.lax.scan(body, init, chunks)
+        return out
+
     msgs = h[src] * edge_val[:, None].astype(h.dtype)
-    return jax.ops.segment_sum(msgs, dst, num_segments=num_out)
+    return jax.ops.segment_sum(msgs, dst, num_segments=num_out,
+                               indices_are_sorted=sorted_dst)
 
 
 def aggregate(
@@ -41,6 +73,8 @@ def aggregate(
     edge_val: jnp.ndarray,
     self_val: jnp.ndarray,  # (V,) self-loop norm factors
     h_table: jnp.ndarray | None = None,  # feature table incl. ghosts; default h
+    sorted_dst: bool = False,
+    edge_chunk: int = 0,
 ) -> jnp.ndarray:
     """GCN aggregation: ah = self_val * h + SpMM(edge_val, h_table).
 
@@ -48,5 +82,6 @@ def aggregate(
     accumulate weighted neighbors" (gcn_ops.cpp:155-190).
     """
     table = h if h_table is None else h_table
-    out = spmm_edgewise(table, src, dst, edge_val, h.shape[0])
+    out = spmm_edgewise(table, src, dst, edge_val, h.shape[0],
+                        sorted_dst=sorted_dst, edge_chunk=edge_chunk)
     return out + h * self_val[:, None].astype(h.dtype)

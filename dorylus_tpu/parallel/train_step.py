@@ -115,7 +115,10 @@ class ShardedEngine:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_shards)
         n = self.mesh.shape[GRAPH_AXIS]
-        self.model = GCN(layers) if cfg.model == "gcn" else GAT(layers)
+        self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
+                          optimize_order=cfg.optimize_order)
+                      if cfg.model == "gcn"
+                      else GAT(layers, edge_chunk=cfg.edge_chunk))
         self.sharded = partition_graph(
             graph, n, method=partition_method, parts=parts,
             for_gat=cfg.model == "gat")
@@ -132,6 +135,26 @@ class ShardedEngine:
             adam_init(self.params), NamedSharding(self.mesh, P())) if cfg.adam else None
         self.report = RunReport()
         self._compiled = None
+        if cfg.resume and cfg.checkpoint_dir:
+            from dorylus_tpu.engine.checkpoint import latest_checkpoint, load_checkpoint
+            path = latest_checkpoint(cfg.checkpoint_dir)
+            if path is not None:
+                ck = load_checkpoint(path)
+                rep = NamedSharding(self.mesh, P())
+                self.params = jax.device_put(
+                    jax.tree.map(jnp.asarray, ck["params"]), rep)
+                if ck["opt_state"] is not None and cfg.adam:
+                    self.opt_state = jax.device_put(
+                        jax.tree.map(jnp.asarray, ck["opt_state"]), rep)
+                log("resumed from %s", path)
+
+    def _maybe_checkpoint(self, epoch: int) -> None:
+        cfg = self.cfg
+        if (cfg.checkpoint_dir and cfg.checkpoint_every
+                and (epoch + 1) % cfg.checkpoint_every == 0):
+            from dorylus_tpu.engine.checkpoint import save_checkpoint
+            save_checkpoint(cfg.checkpoint_dir, epoch + 1, self.params,
+                            self.opt_state)
 
     def run(self, epochs: Optional[int] = None) -> RunReport:
         epochs = epochs if epochs is not None else self.cfg.epochs
@@ -145,17 +168,19 @@ class ShardedEngine:
             t0 = time.perf_counter()
             self.params, self.opt_state, loss = step(
                 self.params, self.opt_state, self.arrs)
+            # float() forces a host transfer — reliable sync even on
+            # remote/async backends where block_until_ready returns early.
+            loss_f = float(loss)
+            dt_ms = 1e3 * (time.perf_counter() - t0)
             acc = None
             if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == epochs - 1):
                 stats = evaluate(self.params, self.arrs, "val")
                 acc = float(stats[0]) / max(1.0, float(stats[2]))
-            else:
-                jax.block_until_ready(loss)
-            dt_ms = 1e3 * (time.perf_counter() - t0)
-            self.report.add_epoch(EpochRecord(epoch, dt_ms, loss=float(loss), accuracy=acc))
+            self.report.add_epoch(EpochRecord(epoch, dt_ms, loss=loss_f, accuracy=acc))
+            self._maybe_checkpoint(epoch)
             if acc is not None:
                 log("Epoch %d: %.2f ms, loss %.4f, val acc %.4f",
-                    epoch, dt_ms, float(loss), acc)
+                    epoch, dt_ms, loss_f, acc)
             if cfg.target_accuracy is not None and acc is not None and acc >= cfg.target_accuracy:
                 log("Target accuracy reached at epoch %d.", epoch)
                 break
