@@ -40,6 +40,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parts-file", default=None,
                    help="METIS-style parts file (with --partition metis)")
     p.add_argument("--edge-chunk", type=int, default=0)
+    p.add_argument("--kernel", default="xla", choices=["xla", "pallas"],
+                   help="aggregation kernel (pallas = TPU chain SpMM)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--staleness", type=int, default=None,
                    help="accepted for reference-CLI parity; TPU engine is "
@@ -61,6 +63,7 @@ def cmd_train(args) -> int:
         model=args.model, epochs=args.epochs, learning_rate=args.learning_rate,
         target_accuracy=args.target_acc, eval_every=args.eval_every,
         num_shards=args.shards, edge_chunk=args.edge_chunk,
+        kernel=args.kernel,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         staleness=args.staleness,
         checkpoint_dir=args.checkpoint_dir,

@@ -104,6 +104,7 @@ class TrainConfig:
     compute_dtype: str = "float32"  # flip to bfloat16 for speed at scale
 
     # Aggregation kernel knobs
+    kernel: str = "xla"  # "xla" (segment_sum) | "pallas" (chain kernel)
     edge_chunk: int = 0  # SpMM edge-chunk size; 0 = unchunked
     optimize_order: bool = True  # transform-before-aggregate when it shrinks F
 

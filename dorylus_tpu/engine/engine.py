@@ -42,11 +42,21 @@ class Engine:
         self.graph = graph
         self.layers = layers
         self.cfg = cfg
+        spmm_op = None
+        if cfg.kernel == "pallas":
+            from dorylus_tpu.ops.pallas_spmm import PallasSpMM
+            spmm_op = PallasSpMM(graph.src, graph.dst,
+                                 graph.num_vertices, graph.num_vertices)
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
-                          optimize_order=cfg.optimize_order)
+                          optimize_order=cfg.optimize_order, spmm_op=spmm_op)
                       if cfg.model == "gcn"
-                      else GAT(layers, edge_chunk=cfg.edge_chunk))
+                      else GAT(layers, edge_chunk=cfg.edge_chunk,
+                               spmm_op=spmm_op))
         self.batch = build_batch(graph, for_gat=cfg.model == "gat")
+        if spmm_op is not None:
+            # Plan arrays ride the batch pytree into jit as arguments —
+            # never as closure constants (they are megabytes of metadata).
+            self.batch = self.batch._replace(aux={"spmm": spmm_op.arrays})
         self.params = self.model.init_params(seed=cfg.seed)
         self.opt_state = adam_init(self.params) if cfg.adam else None
         self.report = RunReport()

@@ -32,6 +32,9 @@ class GraphBatch(NamedTuple):
     val_mask: jnp.ndarray  # (Vp,) float32
     test_mask: jnp.ndarray  # (Vp,) float32
     denom: jnp.ndarray  # () float32 = |V_global| * TRAIN_PORTION
+    # Optional per-graph auxiliary arrays (e.g. Pallas SpMM plan arrays);
+    # carried in the batch so they reach compiled code as jit arguments.
+    aux: Optional[dict] = None
 
     @property
     def num_vertices(self) -> int:

@@ -44,10 +44,13 @@ from dorylus_tpu.ops.spmm import spmm_edgewise
 
 class GAT:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
-                 edge_chunk: int = 0):
+                 edge_chunk: int = 0, spmm_op=None):
         self.layers = layers
         self.sorted_dst = sorted_dst
         self.edge_chunk = edge_chunk
+        # Optional bound Pallas SpMM; its SDDMM backward supplies the
+        # attention-value gradients (replacing gat hand-derived backward).
+        self.spmm_op = spmm_op
 
     def init_params(self, seed: int = 8888, exact_reference: bool = True) -> Params:
         """w: xavier; a_i: kaiming — initWeightsMasterGAT
@@ -86,9 +89,13 @@ class GAT:
                          preferred_element_type=jnp.float32)[:, 0]  # (Vp,)
             az = za[batch.dst]  # (Ep,)
             att = leaky_relu(az) * edge_mask
-            agg = spmm_edgewise(table, batch.src, batch.dst, att, z.shape[0],
-                                sorted_dst=self.sorted_dst,
-                                edge_chunk=self.edge_chunk)
+            if self.spmm_op is not None:
+                arrays = (batch.aux or {}).get("spmm", self.spmm_op.arrays)
+                agg = self.spmm_op.apply(arrays, table, att).astype(z.dtype)
+            else:
+                agg = spmm_edgewise(table, batch.src, batch.dst, att,
+                                    z.shape[0], sorted_dst=self.sorted_dst,
+                                    edge_chunk=self.edge_chunk)
             h = z + agg
             if return_intermediates:
                 inter.append((z, az, att, h))

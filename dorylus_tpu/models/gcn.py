@@ -33,7 +33,8 @@ HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
 
 class GCN:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
-                 edge_chunk: int = 0, optimize_order: bool = True):
+                 edge_chunk: int = 0, optimize_order: bool = True,
+                 spmm_op=None):
         """sorted_dst: edge arrays are CSC-ordered (dst ascending) — both
         build_batch and partition_graph guarantee this.
 
@@ -52,6 +53,19 @@ class GCN:
         self.sorted_dst = sorted_dst
         self.edge_chunk = edge_chunk
         self.optimize_order = optimize_order
+        # Optional bound Pallas SpMM (ops/pallas_spmm.PallasSpMM) for this
+        # graph's sparsity pattern; falls back to the XLA path when None.
+        self.spmm_op = spmm_op
+
+    def _aggregate(self, h, batch, table):
+        if self.spmm_op is not None:
+            arrays = (batch.aux or {}).get("spmm", self.spmm_op.arrays)
+            out = self.spmm_op.apply(arrays, table, batch.edge_val.astype(h.dtype))
+            return out.astype(h.dtype) + h * batch.self_val[:, None].astype(h.dtype)
+        return aggregate(h, batch.src, batch.dst, batch.edge_val,
+                         batch.self_val, h_table=table,
+                         sorted_dst=self.sorted_dst,
+                         edge_chunk=self.edge_chunk)
 
     def init_params(self, seed: int = 8888, exact_reference: bool = True) -> Params:
         """Per-layer xavier weights, each from a fresh engine with a fixed
@@ -84,16 +98,10 @@ class GCN:
             if transform_first:
                 hw = jnp.dot(h, w, preferred_element_type=jnp.float32)
                 table = halo(hw) if halo is not None else hw
-                z = aggregate(hw, batch.src, batch.dst, batch.edge_val,
-                              batch.self_val, h_table=table,
-                              sorted_dst=self.sorted_dst,
-                              edge_chunk=self.edge_chunk)
+                z = self._aggregate(hw, batch, table)
             else:
                 table = halo(h) if halo is not None else h
-                ah = aggregate(h, batch.src, batch.dst, batch.edge_val,
-                               batch.self_val, h_table=table,
-                               sorted_dst=self.sorted_dst,
-                               edge_chunk=self.edge_chunk)
+                ah = self._aggregate(h, batch, table)
                 z = jnp.dot(ah, w, preferred_element_type=jnp.float32)
             h = jnp.tanh(z) if l < num_layers - 1 else z
             if return_intermediates:

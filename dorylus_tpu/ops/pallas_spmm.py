@@ -1,0 +1,436 @@
+"""Pallas TPU SpMM: transposed, segmented chunk-chain kernel.
+
+Hardware facts that shape the design (probed on TPU v5e, jax 0.9 Mosaic):
+  - tpu.dynamic_gather only gathers within ONE vreg along the gather dim
+    (8 sublanes / 128 lanes). Arbitrary-row VMEM gather and any scatter
+    are unavailable inside kernels.
+  - XLA's scatter/gather lowerings run at 12-67 M edges/s (35-60 GB/s) -
+    far below the ~800 GB/s HBM streaming rate
+    (measured in tools/microbench_spmm.py).
+
+Design: operate on TRANSPOSED features h_T (F, V) so the vertex axis lies
+on lanes. Edges are sorted by (dst_block, src_window, dst) and cut into
+chunks of 128 edge slots, each chunk reading one 128-column source window:
+
+  per chunk:  gather (F,128) window columns by src lane index - a single
+              lane-vreg dynamic_gather;  multiply by edge values;
+              inclusive cumsum along lanes (7 masked rolls);
+              per-dst-run partial = cum[run_end] - cum[run_start-1],
+              placed at the run's last lane;  write the (F,128) partials
+              block linearly (pure streaming, no revisit, no scatter).
+
+Chunk-runs are re-reduced by the SAME kernel at level 1 (windows now index
+level-0 partial positions), and leftovers meet a final sorted segment-sum.
+To bound memory, chunks are processed in SEGMENTS of `seg_chunks` under
+lax.map: each segment's level-0 partials (~0.5-1 GB) are consumed by its
+own level-1 pass before the next segment runs.
+
+Compression - and therefore the win over XLA segment_sum - comes from
+graph locality: clustered/METIS-ordered graphs collapse most runs inside
+chunks. Uniform-random graphs do not compress; use the XLA path for those
+(ops/spmm.py). Chunks sharing a source window are consecutive, so Pallas
+skips refetching the window - locality pays twice.
+
+Plan arrays must flow through jit ARGUMENTS (carried in the batch pytree):
+closure ndarrays are embedded into the compiled program as constants and
+overflow the compile pipeline.
+
+The VJP reuses the machinery: dL/dh is the same SpMM over the transposed
+graph; dL/dval (GAT attention gradients) is an edge-chunked XLA SDDMM.
+Replaces the reference's per-vertex CSC aggregation loop
+(src/graph-server/engine/ops/gcn_ops.cpp:130-191) and its hand-written
+backward aggregate.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+# ---------------- host-side plan construction ----------------
+
+
+@dataclass
+class LevelArrays:
+    window: np.ndarray  # (..., n_chunks) int32
+    src_local: np.ndarray  # (..., n_chunks, 128) int32
+    run_start: np.ndarray  # (..., n_chunks, 128) int32
+    is_last: np.ndarray  # (..., n_chunks, 128) float32
+
+
+def _build_level(src_pos: np.ndarray, dst: np.ndarray,
+                 dst_block: int = 8192):
+    """Sort + chunk edges. Returns (LevelArrays, edge_slot, run_pos,
+    run_dst, run_chunk); runs are maximal same-dst spans within a chunk."""
+    e = len(src_pos)
+    src_pos = np.asarray(src_pos, np.int64)
+    dst = np.asarray(dst, np.int64)
+    win = src_pos // LANES
+    dblk = dst // dst_block
+    order = np.lexsort((src_pos, dst, win, dblk))
+    s_o, d_o, w_o = src_pos[order], dst[order], win[order]
+
+    new_bucket = np.r_[True, (w_o[1:] != w_o[:-1]) |
+                       (d_o[1:] // dst_block != d_o[:-1] // dst_block)]
+    pos_in_bucket = np.arange(e) - np.maximum.accumulate(
+        np.where(new_bucket, np.arange(e), 0))
+    bucket_id = np.cumsum(new_bucket) - 1
+    chunk_key = bucket_id * (1 << 24) + pos_in_bucket // LANES
+    new_chunk = np.r_[True, chunk_key[1:] != chunk_key[:-1]]
+    chunk_id = np.cumsum(new_chunk) - 1
+    lane = pos_in_bucket % LANES
+    n_chunks = int(chunk_id[-1]) + 1 if e else 1
+
+    window = np.zeros(n_chunks, np.int32)
+    src_local = np.zeros((n_chunks, LANES), np.int32)
+    run_start = np.zeros((n_chunks, LANES), np.int32)
+    is_last = np.zeros((n_chunks, LANES), np.float32)
+
+    window[chunk_id] = w_o.astype(np.int32)
+    src_local[chunk_id, lane] = (s_o % LANES).astype(np.int32)
+
+    new_run = new_chunk | np.r_[True, d_o[1:] != d_o[:-1]]
+    run_id = np.cumsum(new_run) - 1
+    run_first = np.flatnonzero(new_run)
+    run_last = np.r_[run_first[1:] - 1, e - 1] if e else np.empty(0, np.int64)
+
+    run_start[chunk_id, lane] = lane[run_first[run_id]].astype(np.int32)
+    is_last[chunk_id[run_last], lane[run_last]] = 1.0
+
+    edge_slot = np.empty(e, np.int64)
+    edge_slot[order] = chunk_id * LANES + lane
+
+    run_pos = chunk_id[run_last] * LANES + lane[run_last]
+    run_dst = d_o[run_last]
+    run_chunk = chunk_id[run_last]
+    lv = LevelArrays(window=window, src_local=src_local,
+                     run_start=run_start, is_last=is_last)
+    return lv, edge_slot, run_pos, run_dst, run_chunk
+
+
+def _pad_level(lv: LevelArrays, n: int) -> LevelArrays:
+    k = n - lv.window.shape[0]
+    assert k >= 0
+    return LevelArrays(
+        window=np.pad(lv.window, (0, k)),
+        src_local=np.pad(lv.src_local, ((0, k), (0, 0))),
+        run_start=np.pad(lv.run_start, ((0, k), (0, 0))),
+        is_last=np.pad(lv.is_last, ((0, k), (0, 0))),
+    )
+
+
+@dataclass
+class Stage:
+    """One reduction stage: a segmented kernel pass + dst-sorted extraction."""
+
+    n_seg: int
+    seg_chunks: int
+    runs_per_seg: int  # uniform (padded) extracted runs per segment
+    n_src: int  # padded width of this stage's input table
+    level: LevelArrays  # (n_seg, seg_chunks, ...)
+    run_pos: np.ndarray  # (n_seg, runs_per_seg) int32, local to segment partials
+    run_mask: np.ndarray  # (n_seg, runs_per_seg) float32 (0 on padding)
+
+
+@dataclass
+class ChainPlan:
+    stages: List[Stage]
+    edge_slot: np.ndarray  # (E,) int64 — stage-0 slot of each input edge
+    final_dst: np.ndarray  # (R_last,) int32; padding routes to num_out
+    num_edges: int
+    num_in: int
+    num_out: int
+
+    @property
+    def compression(self) -> float:
+        return len(self.final_dst) / max(1, self.num_edges)
+
+
+def build_chain_plan(src: np.ndarray, dst: np.ndarray, num_in: int,
+                     num_out: int, seg_chunks: int = 8192,
+                     max_stages: int = 4,
+                     stop_runs: int | None = None) -> ChainPlan:
+    """Recursive plan: stage 0 consumes real edges; later stages consume the
+    previous stage's extracted runs (identity-ordered positions, so their
+    windows barely fragment). Extraction is dst-sorted per segment and
+    segments cover disjoint dst ranges (dst-block-major chunk order), so
+    each stage's input is nearly dst-sorted => geometric compression even
+    for uniform-random graphs."""
+    e = len(src)
+    stop_runs = stop_runs if stop_runs is not None else max(num_out // 2, 1 << 15)
+    stages: List[Stage] = []
+    cur_src = np.asarray(src, np.int64)
+    cur_dst = np.asarray(dst, np.int64)
+    n_src = max(LANES, -(-num_in // LANES) * LANES)
+    edge_slot = None
+
+    for depth in range(max_stages):
+        lv, slot, run_pos, run_dst, run_chunk = _build_level(cur_src, cur_dst)
+        if depth == 0:
+            edge_slot = slot
+        n_chunks = lv.window.shape[0]
+        n_seg = max(1, -(-n_chunks // seg_chunks))
+        sc = seg_chunks if n_chunks > seg_chunks else max(8, -(-n_chunks // 8) * 8)
+        n_seg = max(1, -(-n_chunks // sc))
+        lv = _pad_level(lv, n_seg * sc)
+
+        seg_of_run = run_chunk // sc
+        counts = np.bincount(seg_of_run, minlength=n_seg)
+        runs_per_seg = max(8, -(-int(counts.max()) // 8) * 8)
+        rp = np.zeros((n_seg, runs_per_seg), np.int32)
+        rm = np.zeros((n_seg, runs_per_seg), np.float32)
+        nxt_dst = np.full(n_seg * runs_per_seg, num_out, np.int64)
+        for s_i in range(n_seg):
+            sel = np.flatnonzero(seg_of_run == s_i)
+            order2 = np.argsort(run_dst[sel], kind="stable")
+            sel = sel[order2]
+            k = len(sel)
+            rp[s_i, :k] = (run_pos[sel] - s_i * sc * LANES).astype(np.int32)
+            rm[s_i, :k] = 1.0
+            nxt_dst[s_i * runs_per_seg: s_i * runs_per_seg + k] = run_dst[sel]
+
+        stages.append(Stage(
+            n_seg=n_seg, seg_chunks=sc, runs_per_seg=runs_per_seg,
+            n_src=n_src,
+            level=LevelArrays(
+                window=lv.window.reshape(n_seg, sc),
+                src_local=lv.src_local.reshape(n_seg, sc, LANES),
+                run_start=lv.run_start.reshape(n_seg, sc, LANES),
+                is_last=lv.is_last.reshape(n_seg, sc, LANES),
+            ),
+            run_pos=rp, run_mask=rm,
+        ))
+        r = n_seg * runs_per_seg
+        # Even a non-compressing stage makes progress: its dst-sorted
+        # extraction means the NEXT stage gets identity-window input and
+        # collapses runs (uniform-random graphs compress only at stage 2).
+        if r <= stop_runs:
+            cur_dst = nxt_dst
+            break
+        cur_src = np.arange(r, dtype=np.int64)
+        cur_dst = nxt_dst
+        n_src = max(LANES, -(-r // LANES) * LANES)
+
+    return ChainPlan(stages=stages, edge_slot=edge_slot,
+                     final_dst=cur_dst.astype(np.int32), num_edges=e,
+                     num_in=num_in, num_out=num_out)
+
+
+# ---------------- kernel ----------------
+
+
+def _chain_kernel(w_ref, sl_ref, rs_ref, il_ref, val_ref, h_ref, out_ref,
+                  *, f: int):
+    c = pl.program_id(0)
+    r = c % 8
+
+    sl = sl_ref[r, :]  # (128,) lane index within the source window
+    idx = jnp.broadcast_to(sl[None, :], (f, LANES))
+    g = jnp.take_along_axis(h_ref[:], idx, axis=1)  # (F, 128)
+    msgs = g * val_ref[r, :][None, :]
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (f, LANES), 1)
+    x = msgs
+    s = 1
+    while s < LANES:
+        x = x + jnp.where(lanes >= s, pltpu.roll(x, s, 1), 0.0)
+        s *= 2
+
+    rs2 = jnp.broadcast_to(rs_ref[r, :][None, :], (f, LANES))
+    prev = jnp.take_along_axis(x, jnp.maximum(rs2 - 1, 0), axis=1)
+    seg = x - jnp.where(rs2 > 0, prev, 0.0)
+    out_ref[:] = seg * il_ref[r, :][None, :]
+
+
+def _run_level(h_t, window, src_local, run_start, is_last, val_2d, f,
+               interpret):
+    """h_t: (F, n_src). Metadata: (n_chunks[,128]). -> (F, n_chunks*128)."""
+    n_chunks = window.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # window
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((8, LANES), lambda c, w: (c // 8, 0)),  # src_local
+            pl.BlockSpec((8, LANES), lambda c, w: (c // 8, 0)),  # run_start
+            pl.BlockSpec((8, LANES), lambda c, w: (c // 8, 0)),  # is_last
+            pl.BlockSpec((8, LANES), lambda c, w: (c // 8, 0)),  # val
+            pl.BlockSpec((f, LANES), lambda c, w: (0, w[c])),  # h window
+        ],
+        out_specs=pl.BlockSpec((f, LANES), lambda c, w: (0, c)),
+    )
+    return pl.pallas_call(
+        functools.partial(_chain_kernel, f=f),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f, n_chunks * LANES), h_t.dtype),
+        interpret=interpret,
+    )(window, src_local, run_start, is_last, val_2d, h_t)
+
+
+# ---------------- functional apply ----------------
+
+
+@dataclass(frozen=True)
+class StageStatic:
+    n_seg: int
+    seg_chunks: int
+    runs_per_seg: int
+    n_src: int
+
+
+@dataclass(frozen=True)
+class ChainStatic:
+    stages: tuple  # of StageStatic
+    num_out: int
+
+
+def _plan_static(plan: ChainPlan) -> ChainStatic:
+    return ChainStatic(
+        stages=tuple(StageStatic(st.n_seg, st.seg_chunks, st.runs_per_seg,
+                                 st.n_src) for st in plan.stages),
+        num_out=plan.num_out,
+    )
+
+
+def _plan_arrays(plan: ChainPlan) -> dict:
+    asj = jnp.asarray
+    return {
+        "stages": [
+            {"window": asj(st.level.window),
+             "src_local": asj(st.level.src_local),
+             "run_start": asj(st.level.run_start),
+             "is_last": asj(st.level.is_last),
+             "run_pos": asj(st.run_pos),
+             "run_mask": asj(st.run_mask)}
+            for st in plan.stages
+        ],
+        "final_dst": asj(plan.final_dst),
+        "edge_slot": asj(plan.edge_slot.astype(np.int32)),
+    }
+
+
+def _apply_chain(static: ChainStatic, arrs: dict, h, val, interpret):
+    f_real = h.shape[1]
+    f = max(8, -(-f_real // 8) * 8)
+    st0 = static.stages[0]
+    table = jnp.pad(h.T, ((0, f - f_real), (0, st0.n_src - h.shape[0])))
+
+    vals = None
+    for si, (st, sa) in enumerate(zip(static.stages, arrs["stages"])):
+        if si == 0:
+            n_slots = st.n_seg * st.seg_chunks * LANES
+            val_2d = jnp.zeros((n_slots,), h.dtype) \
+                .at[arrs["edge_slot"]].set(val.astype(h.dtype)) \
+                .reshape(st.n_seg, st.seg_chunks, LANES)
+        else:
+            val_2d = jnp.ones((st.n_seg, st.seg_chunks, LANES), h.dtype)
+            r_prev = vals.shape[0] * vals.shape[1]
+            table = vals.reshape(r_prev, f).T
+            if table.shape[1] < st.n_src:
+                table = jnp.pad(table, ((0, 0), (0, st.n_src - table.shape[1])))
+
+        def seg_fn(seg, table=table):
+            lw, sl, rs, il, v2d, rpos, rmask = seg
+            p = _run_level(table, lw, sl, rs, il, v2d, f, interpret)
+            return p.T[rpos] * rmask[:, None]
+
+        xs = (sa["window"], sa["src_local"], sa["run_start"], sa["is_last"],
+              val_2d, sa["run_pos"], sa["run_mask"])
+        vals = jax.lax.map(seg_fn, xs)  # (n_seg, runs_per_seg, F)
+
+    out_t = jax.ops.segment_sum(
+        vals.reshape(-1, f), arrs["final_dst"],
+        num_segments=static.num_out + 1)
+    return out_t[: static.num_out, :f_real]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pallas_spmm_apply(static, arrs, h, val):
+    """static: (fwd ChainStatic, bwd ChainStatic, num_in, interpret).
+    arrs: {"fwd": ..., "bwd": ..., "src": (E,), "dst": (E,)}."""
+    fwd_static, _, _, interpret = static
+    return _apply_chain(fwd_static, arrs["fwd"], h, val, interpret)
+
+
+def _apply_fwd(static, arrs, h, val):
+    return pallas_spmm_apply(static, arrs, h, val), (arrs, h, val)
+
+
+def _apply_bwd(static, res, gout):
+    arrs, h, val = res
+    _, bwd_static, num_in, interpret = static
+    dh = _apply_chain(bwd_static, arrs["bwd"], gout, val, interpret)[:h.shape[0]]
+    dval = _sddmm_chunked(h, gout, arrs["src"], arrs["dst"]).astype(val.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh, dval
+
+
+pallas_spmm_apply.defvjp(_apply_fwd, _apply_bwd)
+
+
+class PallasSpMM:
+    """out[v] = sum_{e: dst[e]=v} val[e] * h[src[e]], differentiable in h
+    and val, sparsity pattern bound at construction.
+
+    IMPORTANT: inside jit, pass `op.arrays` through the function arguments
+    (e.g. in the batch pytree) and call `op.apply(arrays, h, val)`; calling
+    `op(h, val)` from a traced function embeds the plan arrays as
+    compiled-in constants and overflows the compile pipeline.
+    """
+
+    def __init__(self, src, dst, num_in, num_out, interpret=None,
+                 seg_chunks: int = 8192):
+        if interpret is None:
+            # Mosaic kernels only compile for TPU; interpret elsewhere.
+            interpret = jax.default_backend() in ("cpu",)
+        self.interpret = interpret
+        self.num_in = num_in
+        self.num_out = num_out
+        self.num_edges = len(src)
+        self.fwd = build_chain_plan(src, dst, num_in, num_out, seg_chunks)
+        self.bwd = build_chain_plan(dst, src, num_out, num_in, seg_chunks)
+        self.arrays = {
+            "fwd": _plan_arrays(self.fwd),
+            "bwd": _plan_arrays(self.bwd),
+            "src": jnp.asarray(np.asarray(src, np.int32)),
+            "dst": jnp.asarray(np.asarray(dst, np.int32)),
+        }
+        self.static = (_plan_static(self.fwd), _plan_static(self.bwd),
+                       num_in, interpret)
+
+    def apply(self, arrays, h, val):
+        return pallas_spmm_apply(self.static, arrays, h, val)
+
+    def __call__(self, h, val):
+        return pallas_spmm_apply(self.static, self.arrays, h, val)
+
+
+def _sddmm_chunked(h, gout, src, dst, chunk: int = 1 << 20):
+    """Edge-chunked SDDMM g[e] = <h[src e], gout[dst e]> without
+    materializing (E, F)."""
+    e = src.shape[0]
+    if e <= chunk:
+        return jnp.sum(h[src] * gout[dst], axis=1)
+    n_chunks = -(-e // chunk)
+    pad = n_chunks * chunk - e
+    sp = jnp.concatenate([src, jnp.zeros(pad, src.dtype)])
+    dp = jnp.concatenate([dst, jnp.zeros(pad, dst.dtype)])
+
+    def body(_, ch):
+        s, d = ch
+        return None, jnp.sum(h[s] * gout[d], axis=1)
+
+    _, outs = jax.lax.scan(body, None,
+                           (sp.reshape(n_chunks, -1), dp.reshape(n_chunks, -1)))
+    return outs.reshape(-1)[:e]
