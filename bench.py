@@ -40,22 +40,24 @@ def build_graph(num_vertices: int, avg_degree: int, feature_dim: int,
 
 
 def time_loop(fn, h, *rest, iters: int = 10):
-    """Time `iters` chained applications inside ONE jit (lax.fori_loop), then
-    force a host transfer: remote/async backends (axon tunnel) return from
-    block_until_ready early, so a scalar readback is the only honest sync."""
+    """Time `iters` chained applications inside ONE jit (lax.fori_loop) with
+    a SCALAR carry/output. Two tunnel-backend hazards this avoids:
+    block_until_ready returns early (so a host readback is the only honest
+    sync), and large jit outputs are eagerly downloaded at ~150 MB/s (so
+    the loop must reduce to a scalar on device)."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def loop(h, *rest):
-        def body(i, x):
-            return fn(x, *rest)
-        return jax.lax.fori_loop(0, iters, body, h)
+        def body(i, c):
+            out = fn(h + c * 1e-12, *rest)  # carry forces re-execution
+            return out.ravel()[123]
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    out = loop(h, *rest)
-    float(out.ravel()[0])  # compile + warmup
+    float(loop(h, *rest))  # compile + warmup
     t0 = time.perf_counter()
-    out = loop(h, *rest)
-    float(out.ravel()[0])
+    float(loop(h, *rest))
     return (time.perf_counter() - t0) / iters
 
 

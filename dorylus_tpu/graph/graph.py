@@ -47,18 +47,18 @@ class Graph:
         """Sort edges into CSC order (by dst) and compute degrees + GCN
         normalization values. CSC ordering mirrors the reference's
         forwardAdj layout (graph.hpp:96-98) and enables sorted segment
-        sums on TPU."""
+        sums on TPU. Uses the native graphcore library when available
+        (counting sort + parallel norm computation)."""
+        from dorylus_tpu import native
+
         v = self.num_vertices
         self.src = np.asarray(self.src, dtype=np.int32)
         self.dst = np.asarray(self.dst, dtype=np.int32)
-        order = np.argsort(self.dst, kind="stable")
+        order = native.sort_by_dst(self.dst, v)
         self.src = self.src[order]
         self.dst = self.dst[order]
-        self.in_degree = np.bincount(self.dst, minlength=v).astype(np.int64)
-        deg = (self.in_degree + 1).astype(np.float64)
-        inv_sqrt = deg ** -0.5
-        self.self_norm = (deg ** -1.0).astype(np.float32)
-        self.edge_norm = (inv_sqrt[self.src] * inv_sqrt[self.dst]).astype(np.float32)
+        self.in_degree, self.edge_norm, self.self_norm = native.gcn_norms(
+            self.src, self.dst, v)
         return self
 
     # ---- split masks (src/common/utils.hpp:60-62: by global vertex index) ----

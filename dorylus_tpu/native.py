@@ -1,0 +1,156 @@
+"""ctypes bindings for the native graphcore library (native/graphcore.cpp).
+
+Auto-builds on first use when g++ is available; every entry point has a
+pure-numpy fallback so the framework works without the native library
+(slower preprocessing only — device compute is unaffected).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libgraphcore.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.gc_sort_by_dst.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i64p]
+    lib.gc_gcn_norms.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32,
+                                 i64p, f32p, f32p]
+    lib.gc_sort_by_key64.argtypes = [u64p, ctypes.c_int64, i64p]
+    lib.gc_ldg_partition.argtypes = [i64p, i32p, ctypes.c_int32,
+                                     ctypes.c_int32, i32p]
+    lib.gc_mark_runs.argtypes = [i64p, i64p, ctypes.c_int64, u8p]
+    lib.gc_mark_runs.restype = ctypes.c_int64
+    lib.gc_version.restype = ctypes.c_int32
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def sort_by_dst(dst: np.ndarray, num_v: int) -> np.ndarray:
+    """Stable counting-sort permutation ordering edges by dst (CSC)."""
+    lib = _load()
+    dst = np.ascontiguousarray(dst, np.int32)
+    if lib is None:
+        return np.argsort(dst, kind="stable")
+    order = np.empty(len(dst), np.int64)
+    lib.gc_sort_by_dst(_ptr(dst, ctypes.c_int32), len(dst), num_v,
+                       _ptr(order, ctypes.c_int64))
+    return order
+
+
+def gcn_norms(src: np.ndarray, dst: np.ndarray, num_v: int):
+    """(in_degree, edge_norm, self_norm) per dataloader.cpp:153-185."""
+    lib = _load()
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    if lib is None:
+        deg = np.bincount(dst, minlength=num_v).astype(np.int64)
+        inv_sqrt = (deg + 1.0) ** -0.5
+        return deg, (inv_sqrt[src] * inv_sqrt[dst]).astype(np.float32), \
+            ((deg + 1.0) ** -1.0).astype(np.float32)
+    deg = np.empty(num_v, np.int64)
+    edge_norm = np.empty(len(src), np.float32)
+    self_norm = np.empty(num_v, np.float32)
+    lib.gc_gcn_norms(_ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+                     len(src), num_v, _ptr(deg, ctypes.c_int64),
+                     _ptr(edge_norm, ctypes.c_float),
+                     _ptr(self_norm, ctypes.c_float))
+    return deg, edge_norm, self_norm
+
+
+def sort_by_key64(key: np.ndarray) -> np.ndarray:
+    """Stable ascending permutation for uint64 composite keys."""
+    lib = _load()
+    key = np.ascontiguousarray(key, np.uint64)
+    if lib is None:
+        return np.argsort(key, kind="stable")
+    order = np.empty(len(key), np.int64)
+    lib.gc_sort_by_key64(_ptr(key, ctypes.c_uint64), len(key),
+                         _ptr(order, ctypes.c_int64))
+    return order
+
+
+def ldg_partition(src: np.ndarray, dst: np.ndarray, num_v: int,
+                  k: int) -> np.ndarray:
+    """Streaming greedy (LDG) k-way partition — the METIS stand-in."""
+    lib = _load()
+    # Build CSR over the undirected neighborhood (dst-sorted adjacency).
+    s = np.concatenate([src, dst]).astype(np.int32)
+    d = np.concatenate([dst, src]).astype(np.int32)
+    order = np.argsort(d, kind="stable")
+    col = s[order]
+    counts = np.bincount(d, minlength=num_v)
+    row_ptr = np.zeros(num_v + 1, np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    if lib is None:
+        # Greedy fallback (same algorithm, pure python — fine for tests).
+        parts = np.full(num_v, -1, np.int32)
+        size = np.zeros(k, np.int64)
+        cap = num_v / k + 1.0
+        for v in range(num_v):
+            neigh = col[row_ptr[v]: row_ptr[v + 1]]
+            neigh = neigh[parts[neigh] >= 0] if len(neigh) else neigh
+            score = np.bincount(parts[neigh], minlength=k).astype(np.float64) \
+                if len(neigh) else np.zeros(k)
+            s_adj = (score + 1e-9) * (1.0 - size / cap)
+            best = int(np.argmax(s_adj))
+            parts[v] = best
+            size[best] += 1
+        return parts
+    col = np.ascontiguousarray(col, np.int32)
+    parts = np.empty(num_v, np.int32)
+    lib.gc_ldg_partition(_ptr(row_ptr, ctypes.c_int64),
+                         _ptr(col, ctypes.c_int32), num_v, k,
+                         _ptr(parts, ctypes.c_int32))
+    return parts
+
+
+def mark_runs(chunk_id: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Boolean new-run marks (new chunk or new dst) over sorted edges."""
+    lib = _load()
+    if lib is None:
+        e = len(dst)
+        return np.r_[True, (chunk_id[1:] != chunk_id[:-1]) |
+                     (dst[1:] != dst[:-1])] if e else np.empty(0, bool)
+    chunk_id = np.ascontiguousarray(chunk_id, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    out = np.empty(len(dst), np.uint8)
+    lib.gc_mark_runs(_ptr(chunk_id, ctypes.c_int64),
+                     _ptr(dst, ctypes.c_int64), len(dst),
+                     _ptr(out, ctypes.c_uint8))
+    return out.astype(bool)

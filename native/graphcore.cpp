@@ -1,0 +1,138 @@
+// graphcore — native graph preprocessing for dorylus_tpu.
+//
+// The TPU-native analog of the reference's C++ graph tier:
+//   - DataLoader::preprocess / setEdgeNormalizations
+//     (src/graph-server/graph/dataloader.cpp): edge classification,
+//     degrees, GCN symmetric norm factors
+//   - inputs/partitioner.cpp (METIS k-way): replaced by a deterministic
+//     linear greedy (LDG) streaming partitioner
+//   - the CSC/CSR construction of graph.hpp:96-98
+// plus the hot sort used by the Pallas chain-plan builder
+// (dorylus_tpu/ops/pallas_spmm.py): a parallel composite-key sort that
+// replaces numpy lexsort on hundreds of millions of edges.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+// Build: make -C native   (g++ -O3 -march=native -fopenmp)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#include <parallel/algorithm>
+#define GC_SORT __gnu_parallel::sort
+#else
+#define GC_SORT std::sort
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Counting sort of edges by dst (stable): the CSC layout of the reference's
+// forwardAdj. Returns the permutation in `order` (apply with numpy fancy
+// indexing on the Python side — keeps this ABI allocation-free).
+// ---------------------------------------------------------------------------
+void gc_sort_by_dst(const int32_t* dst, int64_t e, int32_t num_v,
+                    int64_t* order) {
+    std::vector<int64_t> cnt((size_t)num_v + 1, 0);
+    for (int64_t i = 0; i < e; ++i) cnt[(size_t)dst[i] + 1]++;
+    for (int64_t v = 0; v < num_v; ++v) cnt[v + 1] += cnt[v];
+    for (int64_t i = 0; i < e; ++i) order[cnt[dst[i]]++] = i;
+}
+
+// ---------------------------------------------------------------------------
+// In-degrees + GCN symmetric normalization:
+//   deg~(v) = in_degree(v) + 1
+//   edge (u->v): (deg~ u)^-1/2 (deg~ v)^-1/2 ; self(v) = deg~(v)^-1
+// (dataloader.cpp:153-185)
+// ---------------------------------------------------------------------------
+void gc_gcn_norms(const int32_t* src, const int32_t* dst, int64_t e,
+                  int32_t num_v, int64_t* in_degree, float* edge_norm,
+                  float* self_norm) {
+    std::memset(in_degree, 0, sizeof(int64_t) * (size_t)num_v);
+    for (int64_t i = 0; i < e; ++i) in_degree[dst[i]]++;
+    std::vector<float> inv_sqrt((size_t)num_v);
+#pragma omp parallel for
+    for (int64_t v = 0; v < num_v; ++v) {
+        double d = (double)in_degree[v] + 1.0;
+        inv_sqrt[v] = (float)(1.0 / std::sqrt(d));
+        self_norm[v] = (float)(1.0 / d);
+    }
+#pragma omp parallel for
+    for (int64_t i = 0; i < e; ++i)
+        edge_norm[i] = inv_sqrt[src[i]] * inv_sqrt[dst[i]];
+}
+
+// ---------------------------------------------------------------------------
+// Parallel sort by a caller-built uint64 composite key; returns permutation.
+// Used for the chain-plan lexsort (dst_block | window | dst) and any other
+// multi-key edge ordering.
+// ---------------------------------------------------------------------------
+void gc_sort_by_key64(const uint64_t* key, int64_t n, int64_t* order) {
+    struct KV { uint64_t k; int64_t i; };
+    std::vector<KV> kv((size_t)n);
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; ++i) kv[i] = {key[i], i};
+    GC_SORT(kv.begin(), kv.end(), [](const KV& a, const KV& b) {
+        return a.k < b.k || (a.k == b.k && a.i < b.i);  // stable
+    });
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; ++i) order[i] = kv[i].i;
+}
+
+// ---------------------------------------------------------------------------
+// Linear deterministic greedy (LDG) streaming vertex partitioner — the
+// METIS stand-in (inputs/partitioner.cpp). Vertices arrive in id order;
+// each goes to the part with the most already-placed neighbors, penalized
+// by fullness: score = |N(v) ∩ P_i| * (1 - |P_i|/capacity).
+// Needs CSR-ish access: edges sorted by dst (gc_sort_by_dst) with row
+// pointers, plus the reverse direction for undirected affinity.
+// ---------------------------------------------------------------------------
+void gc_ldg_partition(const int64_t* row_ptr, const int32_t* col,
+                      int32_t num_v, int32_t k, int32_t* parts) {
+    std::vector<int64_t> size((size_t)k, 0);
+    std::vector<double> score((size_t)k);
+    const double cap = (double)num_v / k + 1.0;
+    std::fill(parts, parts + num_v, -1);
+    for (int32_t v = 0; v < num_v; ++v) {
+        std::fill(score.begin(), score.end(), 0.0);
+        for (int64_t j = row_ptr[v]; j < row_ptr[v + 1]; ++j) {
+            int32_t u = col[j];
+            if (u < num_v && parts[u] >= 0) score[parts[u]] += 1.0;
+        }
+        int32_t best = 0;
+        double best_s = -1.0;
+        for (int32_t p = 0; p < k; ++p) {
+            double s = (score[p] + 1e-9) * (1.0 - (double)size[p] / cap);
+            if (s > best_s) { best_s = s; best = p; }
+        }
+        parts[v] = best;
+        size[best]++;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Run detection for the chain-plan builder: given chunk ids and dst values
+// in sorted order, mark run-first positions (new chunk or new dst).
+// ---------------------------------------------------------------------------
+int64_t gc_mark_runs(const int64_t* chunk_id, const int64_t* dst, int64_t e,
+                     uint8_t* new_run) {
+    if (e == 0) return 0;
+    new_run[0] = 1;
+    std::atomic<int64_t> cnt{1};
+#pragma omp parallel for
+    for (int64_t i = 1; i < e; ++i) {
+        uint8_t nr = (chunk_id[i] != chunk_id[i - 1]) | (dst[i] != dst[i - 1]);
+        new_run[i] = nr;
+        if (nr) cnt.fetch_add(1, std::memory_order_relaxed);
+    }
+    return cnt.load();
+}
+
+int32_t gc_version() { return 1; }
+
+}  // extern "C"
