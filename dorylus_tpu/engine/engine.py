@@ -90,24 +90,27 @@ class Engine:
         def loss_fn(params, batch: GraphBatch):
             return model.loss(params, batch, compute_dtype=compute_dtype)
 
-        if cfg.adam:
-            def step(params, opt_state, batch):
-                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        # Bounded staleness (the reference's async pipeline,
+        # pipeline.cpp:95-102 + weight stashing weighttensor.cpp:80-123):
+        # chunks may compute gradients against weights up to `staleness`
+        # epochs old. The SPMD emulation computes gradients at the stale
+        # params while the optimizer applies them to the current ones.
+        def step(params, grad_params, opt_state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(grad_params, batch)
+            if cfg.adam:
                 params, opt_state = adam_update(
                     params, grads, opt_state, lr=cfg.learning_rate,
                     beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
                     weight_decay=cfg.weight_decay)
-                return params, opt_state, loss
-        else:
-            def step(params, opt_state, batch):
-                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-                return sgd_update(params, grads, cfg.learning_rate), opt_state, loss
+            else:
+                params = sgd_update(params, grads, cfg.learning_rate)
+            return params, opt_state, loss
 
         def evaluate(params, batch, mask):
             probs = row_softmax(model.forward(params, batch))
             return accuracy_and_loss(probs, batch.onehot, mask)
 
-        return jax.jit(step, donate_argnums=(0, 1)), jax.jit(evaluate)
+        return jax.jit(step, donate_argnums=(2,)), jax.jit(evaluate)
 
     # ---- run loop (Engine::run + pipeline scheduler analog) ----
 
@@ -119,10 +122,18 @@ class Engine:
         cfg = self.cfg
         t_run = time.perf_counter()
 
+        # Staleness window: history[0] is the (up to S epochs) stale weight
+        # version gradients are computed against; sync mode keeps S=0.
+        from collections import deque
+        stale = cfg.staleness or 0
+        history = deque([self.params], maxlen=stale + 1)
+
         for epoch in range(epochs):
             t0 = time.perf_counter()
+            grad_params = history[0]
             self.params, self.opt_state, loss = step(
-                self.params, self.opt_state, self.batch)
+                self.params, grad_params, self.opt_state, self.batch)
+            history.append(self.params)
             # float() forces a host transfer — the only reliable sync on
             # remote/async backends (block_until_ready can return early).
             loss_f = float(loss)
@@ -148,12 +159,26 @@ class Engine:
                     break
 
         self.report.total_time_s = time.perf_counter() - t_run
-        # Final metrics (Engine::output analog).
+        # Final metrics (Engine::output analog) + chip-second cost
+        # accounting (calculate-price.py analog).
+        from dorylus_tpu.engine.profiling import report_cost
+        self.report.notes["cost"] = report_cost(self.report.total_time_s)
         correct, _, count = evaluate(self.params, self.batch, self.batch.val_mask)
         self.report.final_accuracy = float(correct) / max(1.0, float(count))
         correct, _, count = evaluate(self.params, self.batch, self.batch.test_mask)
         self.report.test_accuracy = float(correct) / max(1.0, float(count))
         return self.report
+
+    def profile(self, iters: int = 5) -> dict:
+        """Per-stage timing report (engine/utils.cpp:139-291 analog);
+        results also land in report.stage_times."""
+        from dorylus_tpu.engine.profiling import profile_stages
+        times = profile_stages(self.model, self.params, self.batch, iters=iters)
+        self.report.stage_times = {
+            k: {"total_s": v / 1e3 * iters, "count": iters, "avg_ms": v}
+            for k, v in times.items()
+        }
+        return times
 
     def output(self, path: Optional[str] = None) -> str:
         """Write/return the final report (analog of output_<node>,

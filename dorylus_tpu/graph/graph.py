@@ -38,6 +38,9 @@ class Graph:
     in_degree: np.ndarray = field(default=None, repr=False)
     edge_norm: np.ndarray = field(default=None, repr=False)  # (E,) float32
     self_norm: np.ndarray = field(default=None, repr=False)  # (V,) float32
+    # Original vertex index per (possibly reordered) vertex; the train/val/
+    # test split follows these (utils.hpp:60-62 splits by file order).
+    split_ids: np.ndarray = field(default=None, repr=False)
 
     @property
     def num_edges(self) -> int:
@@ -70,7 +73,8 @@ class Graph:
 
     def masks(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         train_end, val_end = self.split_bounds()
-        idx = np.arange(self.num_vertices)
+        idx = (self.split_ids if self.split_ids is not None
+               else np.arange(self.num_vertices))
         return idx < train_end, (idx >= train_end) & (idx < val_end), idx >= val_end
 
     # ---- dense oracle helpers (for tests; mirrors miscs/check-correctness) ----

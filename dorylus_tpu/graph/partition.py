@@ -177,10 +177,12 @@ def partition_graph(
         self_val = np.zeros(vp, np.float32)
         self_val[:n_local] = g.self_norm[gids]
 
+        # Split follows original file-order ids (reordering-safe).
+        sid = (g.split_ids[gids] if g.split_ids is not None else gids)
         masks = np.zeros((3, vp), np.float32)
-        masks[0, :n_local] = (gids < train_end).astype(np.float32)
-        masks[1, :n_local] = ((gids >= train_end) & (gids < val_end)).astype(np.float32)
-        masks[2, :n_local] = (gids >= val_end).astype(np.float32)
+        masks[0, :n_local] = (sid < train_end).astype(np.float32)
+        masks[1, :n_local] = ((sid >= train_end) & (sid < val_end)).astype(np.float32)
+        masks[2, :n_local] = (sid >= val_end).astype(np.float32)
 
         # Edges owned by this shard; remap src -> feature-table index.
         e_sel = np.where(edge_owner == s)[0]
