@@ -98,6 +98,7 @@ class TrainConfig:
 
     # Parallelism
     num_shards: int = 1  # vertex shards over the mesh 'graph' axis
+    overlap: bool = True  # interior/boundary split: overlap halo with compute
 
     # Numerics
     param_dtype: str = "float32"

@@ -51,6 +51,17 @@ class Shard:
     test_mask: np.ndarray
     send_idx: np.ndarray  # (n_shards, max_h) int32 local rows to send to peer p
     num_edges: int  # real edge count
+    # Interior/boundary split of the same edges (overlap path): interior
+    # src index local rows [0, vp); boundary src index the ghost table
+    # [0, n_shards*max_h). Aggregating interior edges has no data
+    # dependency on the halo all_to_all, so XLA overlaps them — the TPU
+    # analog of the reference overlapping local compute with scatter.
+    src_int: np.ndarray = None  # (ep_int,) int32
+    dst_int: np.ndarray = None
+    val_int: np.ndarray = None
+    src_bnd: np.ndarray = None  # (ep_bnd,) int32 into ghosts
+    dst_bnd: np.ndarray = None
+    val_bnd: np.ndarray = None
 
 
 @dataclass
@@ -59,6 +70,8 @@ class ShardedGraph:
     n_shards: int
     vp: int  # padded local vertex count (uniform)
     ep: int  # padded local edge count (uniform)
+    ep_int: int  # padded interior edge count (uniform)
+    ep_bnd: int  # padded boundary edge count (uniform)
     max_h: int  # padded per-peer halo count (uniform)
     num_vertices: int  # global |V|
     num_edges: int  # global |E|
@@ -81,6 +94,12 @@ class ShardedGraph:
             "test_mask": f("test_mask"),
             "send_idx": f("send_idx"),
             "global_ids": f("global_ids"),
+            "src_int": f("src_int"),
+            "dst_int": f("dst_int"),
+            "val_int": f("val_int"),
+            "src_bnd": f("src_bnd"),
+            "dst_bnd": f("dst_bnd"),
+            "val_bnd": f("val_bnd"),
         }
 
 
@@ -153,6 +172,12 @@ def partition_graph(
     vp = _round_up(max(vp, 1), pad_vertices_to)
     ep = max(int((edge_owner == s).sum()) for s in range(n_shards))
     ep = _round_up(max(ep, 1), pad_edges_to)
+    int_counts = [int(((edge_owner == s) & (src_owner == s)).sum())
+                  for s in range(n_shards)]
+    bnd_counts = [int(((edge_owner == s) & (src_owner != s)).sum())
+                  for s in range(n_shards)]
+    ep_int = _round_up(max(max(int_counts), 1), pad_edges_to)
+    ep_bnd = _round_up(max(max(bnd_counts), 1), pad_edges_to)
 
     train_end = int(v_total * TRAIN_PORTION)
     val_end = train_end + int(v_total * VAL_PORTION)
@@ -211,6 +236,23 @@ def partition_graph(
         dst_arr[: len(e_sel)] = local_index[e_dst_g]
         val_arr[: len(e_sel)] = e_val
 
+        # Interior/boundary split (overlap path).
+        dst_local_all = local_index[e_dst_g]
+        k_int = int(own.sum())
+        k_bnd = len(e_sel) - k_int
+        src_int = np.zeros(ep_int, np.int32)
+        dst_int = np.zeros(ep_int, np.int32)
+        val_int = np.zeros(ep_int, np.float32)
+        src_int[:k_int] = src_idx[own]
+        dst_int[:k_int] = dst_local_all[own]
+        val_int[:k_int] = e_val[own]
+        src_bnd = np.zeros(ep_bnd, np.int32)
+        dst_bnd = np.zeros(ep_bnd, np.int32)
+        val_bnd = np.zeros(ep_bnd, np.float32)
+        src_bnd[:k_bnd] = src_idx[~own] - vp  # rebase into ghost table
+        dst_bnd[:k_bnd] = dst_local_all[~own]
+        val_bnd[:k_bnd] = e_val[~own]
+
         # send_idx[p] = local rows that peer p needs from us (= ghosts[p][s]),
         # padded by repeating row 0 (receiver never addresses padded slots).
         send = np.zeros((n_shards, max_h), np.int32)
@@ -236,6 +278,8 @@ def partition_graph(
                 test_mask=masks[2],
                 send_idx=send,
                 num_edges=len(e_sel),
+                src_int=src_int, dst_int=dst_int, val_int=val_int,
+                src_bnd=src_bnd, dst_bnd=dst_bnd, val_bnd=val_bnd,
             )
         )
 
@@ -244,6 +288,8 @@ def partition_graph(
         n_shards=n_shards,
         vp=vp,
         ep=ep,
+        ep_int=ep_int,
+        ep_bnd=ep_bnd,
         max_h=max_h,
         num_vertices=v_total,
         num_edges=g.num_edges,

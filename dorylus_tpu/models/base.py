@@ -35,6 +35,16 @@ class GraphBatch(NamedTuple):
     # Optional per-graph auxiliary arrays (e.g. Pallas SpMM plan arrays);
     # carried in the batch so they reach compiled code as jit arguments.
     aux: Optional[dict] = None
+    # Optional interior/boundary edge split (sharded overlap path):
+    # interior src index local rows; boundary src index the ghost table.
+    # Aggregating interior edges is independent of the halo all_to_all,
+    # letting XLA overlap communication with compute.
+    src_int: Optional[jnp.ndarray] = None
+    dst_int: Optional[jnp.ndarray] = None
+    val_int: Optional[jnp.ndarray] = None
+    src_bnd: Optional[jnp.ndarray] = None
+    dst_bnd: Optional[jnp.ndarray] = None
+    val_bnd: Optional[jnp.ndarray] = None
 
     @property
     def num_vertices(self) -> int:

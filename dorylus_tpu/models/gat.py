@@ -82,20 +82,38 @@ class GAT:
         for l in range(num_layers):
             z = jnp.dot(h, params[f"w{l}"].astype(compute_dtype),
                         preferred_element_type=jnp.float32)
-            table = halo(z) if halo is not None else z
             # Attention logits from the *destination* vertex only
             # (edgeMatMul iterates CSC columns = dst; forward_ops.cpp:109-141).
             za = jnp.dot(z, params[f"a{l}"].astype(compute_dtype),
                          preferred_element_type=jnp.float32)[:, 0]  # (Vp,)
-            az = za[batch.dst]  # (Ep,)
-            att = leaky_relu(az) * edge_mask
-            if self.spmm_op is not None:
-                arrays = (batch.aux or {}).get("spmm", self.spmm_op.arrays)
-                agg = self.spmm_op.apply(arrays, table, att).astype(z.dtype)
-            else:
-                agg = spmm_edgewise(table, batch.src, batch.dst, att,
+            if batch.src_int is not None and halo is not None:
+                # Overlap path: halo returns ghost z rows only; interior
+                # attention aggregation proceeds alongside the collective.
+                ghosts = halo(z)
+                att_i = leaky_relu(za[batch.dst_int]) * batch.val_int.astype(compute_dtype)
+                att_b = leaky_relu(za[batch.dst_bnd]) * batch.val_bnd.astype(compute_dtype)
+                agg = spmm_edgewise(z, batch.src_int, batch.dst_int, att_i,
                                     z.shape[0], sorted_dst=self.sorted_dst,
                                     edge_chunk=self.edge_chunk)
+                agg = agg + spmm_edgewise(ghosts, batch.src_bnd,
+                                          batch.dst_bnd, att_b, z.shape[0],
+                                          sorted_dst=self.sorted_dst,
+                                          edge_chunk=self.edge_chunk)
+                az = att = None
+                if return_intermediates:
+                    az = za[batch.dst]
+                    att = leaky_relu(az) * edge_mask
+            else:
+                table = halo(z) if halo is not None else z
+                az = za[batch.dst]  # (Ep,)
+                att = leaky_relu(az) * edge_mask
+                if self.spmm_op is not None:
+                    arrays = (batch.aux or {}).get("spmm", self.spmm_op.arrays)
+                    agg = self.spmm_op.apply(arrays, table, att).astype(z.dtype)
+                else:
+                    agg = spmm_edgewise(table, batch.src, batch.dst, att,
+                                        z.shape[0], sorted_dst=self.sorted_dst,
+                                        edge_chunk=self.edge_chunk)
             h = z + agg
             if return_intermediates:
                 inter.append((z, az, att, h))

@@ -24,7 +24,7 @@ from dorylus_tpu.common.config import LayerConfig
 from dorylus_tpu.models import init as winit
 from dorylus_tpu.models.base import GraphBatch, Params
 from dorylus_tpu.ops.activations import masked_softmax_xent, row_softmax
-from dorylus_tpu.ops.spmm import aggregate
+from dorylus_tpu.ops.spmm import aggregate, spmm_edgewise
 
 HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
 # A HaloFn maps local H -> feature table (local rows + received ghost rows).
@@ -56,6 +56,19 @@ class GCN:
         # Optional bound Pallas SpMM (ops/pallas_spmm.PallasSpMM) for this
         # graph's sparsity pattern; falls back to the XLA path when None.
         self.spmm_op = spmm_op
+
+    def _aggregate_split(self, h, batch, ghosts):
+        """Overlap path: interior aggregation has no dependency on the halo
+        collective that produced `ghosts`, so XLA schedules them together
+        (the reference's compute/scatter overlap, pipeline.cpp)."""
+        out_i = aggregate(h, batch.src_int, batch.dst_int, batch.val_int,
+                          batch.self_val, sorted_dst=self.sorted_dst,
+                          edge_chunk=self.edge_chunk)
+        out_b = spmm_edgewise(ghosts, batch.src_bnd, batch.dst_bnd,
+                              batch.val_bnd, h.shape[0],
+                              sorted_dst=self.sorted_dst,
+                              edge_chunk=self.edge_chunk)
+        return out_i + out_b
 
     def _aggregate(self, h, batch, table):
         if self.spmm_op is not None:
@@ -95,13 +108,23 @@ class GCN:
             w = params[f"w{l}"].astype(compute_dtype)
             transform_first = (self.optimize_order and not return_intermediates
                                and w.shape[0] > w.shape[1])
+            # When the batch carries the interior/boundary split, `halo`
+            # returns ghost rows only (parallel.halo.halo_recv) and the
+            # split path is used; otherwise `halo` builds the full table.
+            split = batch.src_int is not None and halo is not None
             if transform_first:
                 hw = jnp.dot(h, w, preferred_element_type=jnp.float32)
-                table = halo(hw) if halo is not None else hw
-                z = self._aggregate(hw, batch, table)
+                if split:
+                    z = self._aggregate_split(hw, batch, halo(hw))
+                else:
+                    table = halo(hw) if halo is not None else hw
+                    z = self._aggregate(hw, batch, table)
             else:
-                table = halo(h) if halo is not None else h
-                ah = self._aggregate(h, batch, table)
+                if split:
+                    ah = self._aggregate_split(h, batch, halo(h))
+                else:
+                    table = halo(h) if halo is not None else h
+                    ah = self._aggregate(h, batch, table)
                 z = jnp.dot(ah, w, preferred_element_type=jnp.float32)
             h = jnp.tanh(z) if l < num_layers - 1 else z
             if return_intermediates:

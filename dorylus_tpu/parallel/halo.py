@@ -28,7 +28,14 @@ def halo_exchange(h: jnp.ndarray, send_idx: jnp.ndarray,
     """h: (vp, F) local features; send_idx: (n_shards, max_h) local rows.
     Returns feature table (vp + n_shards*max_h, F): local rows then ghosts
     grouped by owner shard. Must run inside shard_map over `axis_name`."""
+    return jnp.concatenate([h, halo_recv(h, send_idx, axis_name)], axis=0)
+
+
+def halo_recv(h: jnp.ndarray, send_idx: jnp.ndarray,
+              axis_name: str = GRAPH_AXIS) -> jnp.ndarray:
+    """Ghost rows only: (n_shards*max_h, F). Used by the overlap path,
+    where interior aggregation proceeds concurrently with this collective."""
     buf = h[send_idx]  # (n_shards, max_h, F)
     recv = jax.lax.all_to_all(buf, axis_name, split_axis=0, concat_axis=0,
                               tiled=True)
-    return jnp.concatenate([h, recv.reshape(-1, h.shape[1])], axis=0)
+    return recv.reshape(-1, h.shape[1])

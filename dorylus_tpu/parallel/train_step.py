@@ -37,19 +37,26 @@ from dorylus_tpu.models.gat import GAT
 from dorylus_tpu.models.gcn import GCN
 from dorylus_tpu.ops.activations import accuracy_and_loss, row_softmax
 from dorylus_tpu.optim.adam import adam_init, adam_update, sgd_update
-from dorylus_tpu.parallel.halo import halo_exchange
+from dorylus_tpu.parallel.halo import halo_exchange, halo_recv
 from dorylus_tpu.parallel.mesh import GRAPH_AXIS, make_mesh
 
 
-def _local_batch(arrs: dict, denom: float) -> tuple[GraphBatch, jnp.ndarray]:
-    """Squeeze the per-device leading shard axis and build a GraphBatch."""
+def _local_batch(arrs: dict, denom: float, overlap: bool
+                 ) -> tuple[GraphBatch, jnp.ndarray]:
+    """Squeeze the per-device leading shard axis and build a GraphBatch.
+    With overlap=True the batch carries the interior/boundary edge split,
+    signalling models to treat the halo callable as ghost-rows-only."""
     sq = {k: v[0] for k, v in arrs.items()}
+    split = {k: sq[k] for k in ("src_int", "dst_int", "val_int",
+                                "src_bnd", "dst_bnd", "val_bnd")} \
+        if overlap else {}
     batch = GraphBatch(
         x=sq["x"], onehot=sq["onehot"], src=sq["src"], dst=sq["dst"],
         edge_val=sq["edge_val"], self_val=sq["self_val"],
         train_mask=sq["train_mask"], val_mask=sq["val_mask"],
         test_mask=sq["test_mask"],
         denom=jnp.asarray(denom, jnp.float32),
+        **split,
     )
     return batch, sq["send_idx"]
 
@@ -57,17 +64,26 @@ def _local_batch(arrs: dict, denom: float) -> tuple[GraphBatch, jnp.ndarray]:
 def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     """Returns (step_fn, eval_fn) jitted over the mesh."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    overlap = getattr(cfg, "overlap", True) and mesh.shape[GRAPH_AXIS] > 1
     data_spec = {k: P(GRAPH_AXIS) for k in (
         "x", "onehot", "src", "dst", "edge_val", "self_val",
-        "train_mask", "val_mask", "test_mask", "send_idx", "global_ids")}
+        "train_mask", "val_mask", "test_mask", "send_idx", "global_ids",
+        "src_int", "dst_int", "val_int", "src_bnd", "dst_bnd", "val_bnd")}
+
+    def _halo_fn(send_idx):
+        if mesh.shape[GRAPH_AXIS] <= 1:
+            return None
+        if overlap:
+            return lambda h: halo_recv(h, send_idx)
+        return lambda h: halo_exchange(h, send_idx)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), data_spec),
              out_specs=(P(), P(), P()),
              check_vma=False)
     def step(params, opt_state, arrs):
-        batch, send_idx = _local_batch(arrs, denom)
-        halo = (lambda h: halo_exchange(h, send_idx)) if mesh.shape[GRAPH_AXIS] > 1 else None
+        batch, send_idx = _local_batch(arrs, denom, overlap)
+        halo = _halo_fn(send_idx)
 
         def local_loss(p):
             return model.loss(p, batch, halo=halo, compute_dtype=compute_dtype)
@@ -90,8 +106,8 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
              out_specs=P(),
              check_vma=False)
     def evaluate(params, arrs, which):
-        batch, send_idx = _local_batch(arrs, denom)
-        halo = (lambda h: halo_exchange(h, send_idx)) if mesh.shape[GRAPH_AXIS] > 1 else None
+        batch, send_idx = _local_batch(arrs, denom, overlap)
+        halo = _halo_fn(send_idx)
         probs = row_softmax(model.forward(params, batch, halo=halo))
         mask = {"train": batch.train_mask, "val": batch.val_mask,
                 "test": batch.test_mask}[which]

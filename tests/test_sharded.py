@@ -77,3 +77,18 @@ def test_sharded_gat_matches_single_device():
     r2 = ShardedEngine(g, layers, cfg, mesh=make_mesh(4)).run()
     for e1, e2 in zip(r1.epochs, r2.epochs):
         np.testing.assert_allclose(e1.loss, e2.loss, rtol=5e-4, atol=1e-6)
+
+
+def test_overlap_equals_combined_path():
+    """Interior/boundary-split aggregation (overlap=True) must match the
+    combined-table path exactly."""
+    g = synthetic_graph(300, 6, 16, 4, seed=19)
+    layers = LayerConfig([16, 8, 4])
+    r_ov = ShardedEngine(g, layers, TrainConfig(epochs=4, eval_every=0,
+                                                overlap=True),
+                         mesh=make_mesh(4)).run()
+    r_cm = ShardedEngine(g, layers, TrainConfig(epochs=4, eval_every=0,
+                                                overlap=False),
+                         mesh=make_mesh(4)).run()
+    for a, b in zip(r_ov.epochs, r_cm.epochs):
+        np.testing.assert_allclose(a.loss, b.loss, rtol=1e-5)
