@@ -74,6 +74,10 @@ class TrainConfig:
     model: str = "gcn"  # "gcn" | "gat"
     epochs: int = 100
     learning_rate: float = 0.01
+    # LR decay hook (weightserver.cpp:296-305: x0.7 each 20 epochs,
+    # disabled by default — same default here: 0 = off).
+    lr_decay_every: int = 0
+    lr_decay_factor: float = 0.7
     adam: bool = True
     beta1: float = 0.9
     beta2: float = 0.999

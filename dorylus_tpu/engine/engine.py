@@ -95,15 +95,15 @@ class Engine:
         # chunks may compute gradients against weights up to `staleness`
         # epochs old. The SPMD emulation computes gradients at the stale
         # params while the optimizer applies them to the current ones.
-        def step(params, grad_params, opt_state, batch):
+        def step(params, grad_params, opt_state, batch, lr):
             loss, grads = jax.value_and_grad(loss_fn)(grad_params, batch)
             if cfg.adam:
                 params, opt_state = adam_update(
-                    params, grads, opt_state, lr=cfg.learning_rate,
+                    params, grads, opt_state, lr=lr,
                     beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
                     weight_decay=cfg.weight_decay)
             else:
-                params = sgd_update(params, grads, cfg.learning_rate)
+                params = sgd_update(params, grads, lr)
             return params, opt_state, loss
 
         def evaluate(params, batch, mask):
@@ -128,11 +128,17 @@ class Engine:
         stale = cfg.staleness or 0
         history = deque([self.params], maxlen=stale + 1)
 
+        from dorylus_tpu.optim.adam import decay_lr
+
         for epoch in range(epochs):
             t0 = time.perf_counter()
+            lr = (decay_lr(cfg.learning_rate, epoch, cfg.lr_decay_every,
+                           cfg.lr_decay_factor)
+                  if cfg.lr_decay_every else cfg.learning_rate)
             grad_params = history[0]
             self.params, self.opt_state, loss = step(
-                self.params, grad_params, self.opt_state, self.batch)
+                self.params, grad_params, self.opt_state, self.batch,
+                jnp.asarray(lr, jnp.float32))
             history.append(self.params)
             # float() forces a host transfer — the only reliable sync on
             # remote/async backends (block_until_ready can return early).
@@ -186,3 +192,13 @@ class Engine:
         if path:
             self.report.write(path)
         return self.report.summary()
+
+    def dump_predictions(self, path: str, softmax: bool = False) -> None:
+        """Write per-vertex final-layer outputs, one line per vertex — the
+        artifact miscs/compare_output.py diffs between runs (its line-sum
+        metric needs raw logits; softmax rows always sum to 1)."""
+        if softmax:
+            out = self.model.predict(self.params, self.batch)
+        else:
+            out = self.model.forward(self.params, self.batch)
+        np.savetxt(path, np.asarray(out), fmt="%.6f")

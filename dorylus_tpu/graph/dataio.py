@@ -111,6 +111,14 @@ def read_text_edges(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(srcs, np.int32), np.asarray(dsts, np.int32)
 
 
+def features_to_text(bsnap_path: str | Path, out_path: str | Path,
+                     feature_dim: Optional[int] = None) -> None:
+    """Binary features back to text — miscs/check-correctness/
+    feat-bsnap-to-text.py analog."""
+    feats = read_features_bsnap(bsnap_path, feature_dim)
+    np.savetxt(out_path, feats, fmt="%.6f")
+
+
 def load_dataset(data_dir: str | Path, undirected: bool = True,
                  feature_dim: Optional[int] = None) -> Graph:
     """Load a reference-format dataset directory:

@@ -131,6 +131,11 @@ class ShardedEngine:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_shards)
         n = self.mesh.shape[GRAPH_AXIS]
+        if cfg.kernel == "pallas" and n > 1:
+            # Per-shard chain plans need uniform static shapes across the
+            # SPMD program; not implemented yet — see ops/pallas_spmm.py.
+            log("kernel='pallas' is single-device only for now; the "
+                "sharded engine uses the XLA aggregation path.")
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
                           optimize_order=cfg.optimize_order)
                       if cfg.model == "gcn"
