@@ -12,6 +12,7 @@ explicit interior/boundary splitting in the sharded path).
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Callable, Optional
 
@@ -41,6 +42,12 @@ class Engine:
             f"({graph.features.shape[1]} vs {layers.feature_dim})")
         self.graph = graph
         self.layers = layers
+        if cfg.edge_chunk == 0 and graph.num_edges > (1 << 23):
+            # Unchunked segment_sum materializes the (|E|, F) message
+            # tensor; chunk automatically beyond 8M edges (Amazon/Friendster
+            # scale) to bound it at ~2GB for F=128.
+            cfg = dataclasses.replace(cfg, edge_chunk=4_000_000)
+            log("auto edge_chunk=4M for %d edges", graph.num_edges)
         self.cfg = cfg
         spmm_op = None
         if cfg.kernel == "pallas":

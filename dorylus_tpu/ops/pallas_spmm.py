@@ -165,16 +165,30 @@ class ChainPlan:
         return len(self.final_dst) / max(1, self.num_edges)
 
 
+class _NeedBiggerDims(Exception):
+    """Raised when forced stage dims are too small; carries the needed
+    (n_stages, [(n_seg, sc, rps), ...])."""
+
+    def __init__(self, dims):
+        self.dims = dims
+
+
 def build_chain_plan(src: np.ndarray, dst: np.ndarray, num_in: int,
                      num_out: int, seg_chunks: int = 1024,
                      tile: int = 1024, max_stages: int = 4,
-                     stop_runs: int | None = None) -> ChainPlan:
+                     stop_runs: int | None = None,
+                     force_dims=None) -> ChainPlan:
     """Recursive plan: stage 0 consumes real edges; later stages consume the
     previous stage's extracted runs (identity-ordered positions, so their
     windows barely fragment). Extraction is dst-sorted per segment and
     segments cover disjoint dst ranges (dst-block-major chunk order), so
     each stage's input is nearly dst-sorted => geometric compression even
-    for uniform-random graphs."""
+    for uniform-random graphs.
+
+    force_dims: list of (n_seg, seg_chunks, runs_per_seg) fixing every
+    stage's shapes (SPMD uniformity across shards); raises _NeedBiggerDims
+    when insufficient. With force_dims the plan has exactly len(force_dims)
+    stages (extra stages keep reducing; harmless)."""
     e = len(src)
     stop_runs = stop_runs if stop_runs is not None else max(num_out // 2, 1 << 15)
     stages: List[Stage] = []
@@ -182,21 +196,34 @@ def build_chain_plan(src: np.ndarray, dst: np.ndarray, num_in: int,
     cur_dst = np.asarray(dst, np.int64)
     n_src = max(LANES, -(-num_in // LANES) * LANES)
     edge_slot = None
+    n_stages = len(force_dims) if force_dims else max_stages
 
-    for depth in range(max_stages):
+    for depth in range(n_stages):
         lv, slot, run_pos, run_dst, run_chunk = _build_level(
             cur_src, cur_dst, t=tile)
         if depth == 0:
             edge_slot = slot
         n_chunks = lv.window.shape[0]
-        n_seg = max(1, -(-n_chunks // seg_chunks))
-        sc = seg_chunks if n_chunks > seg_chunks else max(8, -(-n_chunks // 8) * 8)
-        n_seg = max(1, -(-n_chunks // sc))
+        if force_dims is not None:
+            f_nseg, f_sc, f_rps = force_dims[depth]
+            if n_chunks > f_nseg * f_sc:
+                raise _NeedBiggerDims(_needed_dims(
+                    src, dst, num_in, num_out, seg_chunks, tile, n_stages))
+            n_seg, sc = f_nseg, f_sc
+        else:
+            n_seg = max(1, -(-n_chunks // seg_chunks))
+            sc = seg_chunks if n_chunks > seg_chunks else max(8, -(-n_chunks // 8) * 8)
+            n_seg = max(1, -(-n_chunks // sc))
         lv = _pad_level(lv, n_seg * sc)
 
         seg_of_run = run_chunk // sc
         counts = np.bincount(seg_of_run, minlength=n_seg)
         runs_per_seg = max(8, -(-int(counts.max()) // 8) * 8)
+        if force_dims is not None:
+            if runs_per_seg > force_dims[depth][2]:
+                raise _NeedBiggerDims(_needed_dims(
+                    src, dst, num_in, num_out, seg_chunks, tile, n_stages))
+            runs_per_seg = force_dims[depth][2]
         rp = np.zeros((n_seg, runs_per_seg), np.int32)
         rm = np.zeros((n_seg, runs_per_seg), np.float32)
         nxt_dst = np.full(n_seg * runs_per_seg, num_out, np.int64)
@@ -224,7 +251,7 @@ def build_chain_plan(src: np.ndarray, dst: np.ndarray, num_in: int,
         # Even a non-compressing stage makes progress: its dst-sorted
         # extraction means the NEXT stage gets identity-window input and
         # collapses runs (uniform-random graphs compress only at stage 2).
-        if r <= stop_runs:
+        if force_dims is None and r <= stop_runs:
             cur_dst = nxt_dst
             break
         cur_src = np.arange(r, dtype=np.int64)
@@ -234,6 +261,16 @@ def build_chain_plan(src: np.ndarray, dst: np.ndarray, num_in: int,
     return ChainPlan(stages=stages, edge_slot=edge_slot,
                      final_dst=cur_dst.astype(np.int32), num_edges=e,
                      num_in=num_in, num_out=num_out)
+
+
+def _needed_dims(src, dst, num_in, num_out, seg_chunks, tile, n_stages):
+    """Dims an unforced build of exactly n_stages would use."""
+    plan = build_chain_plan(src, dst, num_in, num_out, seg_chunks, tile,
+                            max_stages=n_stages, stop_runs=0)
+    dims = [(st.n_seg, st.seg_chunks, st.runs_per_seg) for st in plan.stages]
+    while len(dims) < n_stages:
+        dims.append(dims[-1])
+    return dims
 
 
 # ---------------- kernel ----------------

@@ -46,16 +46,18 @@ def _local_batch(arrs: dict, denom: float, overlap: bool
     """Squeeze the per-device leading shard axis and build a GraphBatch.
     With overlap=True the batch carries the interior/boundary edge split,
     signalling models to treat the halo callable as ghost-rows-only."""
-    sq = {k: v[0] for k, v in arrs.items()}
+    sq = jax.tree.map(lambda v: v[0], arrs)
     split = {k: sq[k] for k in ("src_int", "dst_int", "val_int",
                                 "src_bnd", "dst_bnd", "val_bnd")} \
         if overlap else {}
+    aux = {"spmm": sq["pallas"]} if "pallas" in sq else None
     batch = GraphBatch(
         x=sq["x"], onehot=sq["onehot"], src=sq["src"], dst=sq["dst"],
         edge_val=sq["edge_val"], self_val=sq["self_val"],
         train_mask=sq["train_mask"], val_mask=sq["val_mask"],
         test_mask=sq["test_mask"],
         denom=jnp.asarray(denom, jnp.float32),
+        aux=aux,
         **split,
     )
     return batch, sq["send_idx"]
@@ -64,11 +66,11 @@ def _local_batch(arrs: dict, denom: float, overlap: bool
 def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     """Returns (step_fn, eval_fn) jitted over the mesh."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    overlap = getattr(cfg, "overlap", True) and mesh.shape[GRAPH_AXIS] > 1
-    data_spec = {k: P(GRAPH_AXIS) for k in (
-        "x", "onehot", "src", "dst", "edge_val", "self_val",
-        "train_mask", "val_mask", "test_mask", "send_idx", "global_ids",
-        "src_int", "dst_int", "val_int", "src_bnd", "dst_bnd", "val_bnd")}
+    overlap = (getattr(cfg, "overlap", True) and mesh.shape[GRAPH_AXIS] > 1
+               and cfg.kernel != "pallas")
+    # A prefix spec: every arrs leaf is sharded along its leading shard axis
+    # (including nested Pallas plan arrays).
+    data_spec = P(GRAPH_AXIS)
 
     def _halo_fn(send_idx):
         if mesh.shape[GRAPH_AXIS] <= 1:
@@ -131,24 +133,31 @@ class ShardedEngine:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_shards)
         n = self.mesh.shape[GRAPH_AXIS]
-        if cfg.kernel == "pallas" and n > 1:
-            # Per-shard chain plans need uniform static shapes across the
-            # SPMD program; not implemented yet — see ops/pallas_spmm.py.
-            log("kernel='pallas' is single-device only for now; the "
-                "sharded engine uses the XLA aggregation path.")
-        self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
-                          optimize_order=cfg.optimize_order)
-                      if cfg.model == "gcn"
-                      else GAT(layers, edge_chunk=cfg.edge_chunk))
         self.sharded = partition_graph(
             graph, n, method=partition_method, parts=parts,
             for_gat=cfg.model == "gat")
+        if cfg.edge_chunk == 0 and self.sharded.ep > (1 << 23):
+            # Bound the per-shard (ep, F) message tensor (see engine.py).
+            import dataclasses
+            cfg = dataclasses.replace(cfg, edge_chunk=4_000_000)
+            self.cfg = cfg
+            log("auto edge_chunk=4M for %d edges/shard", self.sharded.ep)
+        spmm_op = None
         stacked = self.sharded.stacked()
-        # Place each shard's block on its device.
-        self.arrs = {
-            k: jax.device_put(v, NamedSharding(self.mesh, P(GRAPH_AXIS)))
-            for k, v in stacked.items()
-        }
+        if cfg.kernel == "pallas":
+            # Per-shard chain plans with uniform statics (one SPMD program).
+            from dorylus_tpu.ops.pallas_sharded import ShardedPallasSpMM
+            spmm_op = ShardedPallasSpMM(self.sharded)
+            stacked["pallas"] = spmm_op.arrays
+        self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
+                          optimize_order=cfg.optimize_order, spmm_op=spmm_op)
+                      if cfg.model == "gcn"
+                      else GAT(layers, edge_chunk=cfg.edge_chunk,
+                               spmm_op=spmm_op))
+        # Place each shard's block on its device (leading axis sharded).
+        self.arrs = jax.tree.map(
+            lambda v: jax.device_put(
+                v, NamedSharding(self.mesh, P(GRAPH_AXIS))), stacked)
         self.params = jax.device_put(
             self.model.init_params(seed=cfg.seed),
             NamedSharding(self.mesh, P()))
