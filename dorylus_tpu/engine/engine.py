@@ -50,20 +50,36 @@ class Engine:
             log("auto edge_chunk=4M for %d edges", graph.num_edges)
         self.cfg = cfg
         spmm_op = None
+        blk_rows = 0
+        aux = None
         if cfg.kernel == "pallas":
             from dorylus_tpu.ops.pallas_spmm import PallasSpMM
             spmm_op = PallasSpMM(graph.src, graph.dst,
                                  graph.num_vertices, graph.num_vertices)
+            aux = {"spmm": spmm_op.arrays}
+        elif graph.num_vertices > 400_000:
+            # Large-V segment_sum cliff (its output falls out of VMEM):
+            # dst-blocked aggregation keeps each reduction in the fast
+            # regime (see ops/spmm.py build_dst_blocks).
+            from dorylus_tpu.ops.spmm import build_dst_blocks
+            val = (np.ones(graph.num_edges, np.float32)
+                   if cfg.model == "gat" else graph.edge_norm)
+            blk_arrays, blk_rows = build_dst_blocks(
+                graph.src, graph.dst, val, graph.num_vertices)
+            aux = {"blk": jax.tree.map(jnp.asarray, blk_arrays)}
+            log("dst-blocked aggregation: %d blocks of %d rows",
+                blk_arrays["src"].shape[0], blk_rows)
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
-                          optimize_order=cfg.optimize_order, spmm_op=spmm_op)
+                          optimize_order=cfg.optimize_order, spmm_op=spmm_op,
+                          blk_rows=blk_rows)
                       if cfg.model == "gcn"
                       else GAT(layers, edge_chunk=cfg.edge_chunk,
-                               spmm_op=spmm_op))
+                               spmm_op=spmm_op, blk_rows=blk_rows))
         self.batch = build_batch(graph, for_gat=cfg.model == "gat")
-        if spmm_op is not None:
-            # Plan arrays ride the batch pytree into jit as arguments —
+        if aux is not None:
+            # Aux arrays ride the batch pytree into jit as arguments —
             # never as closure constants (they are megabytes of metadata).
-            self.batch = self.batch._replace(aux={"spmm": spmm_op.arrays})
+            self.batch = self.batch._replace(aux=aux)
         self.params = self.model.init_params(seed=cfg.seed)
         self.opt_state = adam_init(self.params) if cfg.adam else None
         self.report = RunReport()

@@ -39,18 +39,19 @@ from dorylus_tpu.models import init as winit
 from dorylus_tpu.models.base import GraphBatch, Params
 from dorylus_tpu.models.gcn import HaloFn
 from dorylus_tpu.ops.activations import leaky_relu, masked_softmax_xent, row_softmax
-from dorylus_tpu.ops.spmm import spmm_edgewise
+from dorylus_tpu.ops.spmm import spmm_dst_blocked, spmm_edgewise
 
 
 class GAT:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
-                 edge_chunk: int = 0, spmm_op=None):
+                 edge_chunk: int = 0, spmm_op=None, blk_rows: int = 0):
         self.layers = layers
         self.sorted_dst = sorted_dst
         self.edge_chunk = edge_chunk
         # Optional bound Pallas SpMM; its SDDMM backward supplies the
         # attention-value gradients (replacing gat hand-derived backward).
         self.spmm_op = spmm_op
+        self.blk_rows = blk_rows  # dst-blocked aggregation (large V)
 
     def init_params(self, seed: int = 8888, exact_reference: bool = True) -> Params:
         """w: xavier; a_i: kaiming — initWeightsMasterGAT
@@ -107,7 +108,11 @@ class GAT:
                 table = halo(z) if halo is not None else z
                 az = za[batch.dst]  # (Ep,)
                 att = leaky_relu(az) * edge_mask
-                if self.spmm_op is not None:
+                blk = (batch.aux or {}).get("blk")
+                if blk is not None and self.blk_rows:
+                    agg = spmm_dst_blocked(table, blk, z.shape[0],
+                                           self.blk_rows, val_flat=att)
+                elif self.spmm_op is not None:
                     arrays = (batch.aux or {}).get("spmm", self.spmm_op.arrays)
                     agg = self.spmm_op.apply(arrays, table, att).astype(z.dtype)
                 else:

@@ -24,7 +24,7 @@ from dorylus_tpu.common.config import LayerConfig
 from dorylus_tpu.models import init as winit
 from dorylus_tpu.models.base import GraphBatch, Params
 from dorylus_tpu.ops.activations import masked_softmax_xent, row_softmax
-from dorylus_tpu.ops.spmm import aggregate, spmm_edgewise
+from dorylus_tpu.ops.spmm import aggregate, spmm_dst_blocked, spmm_edgewise
 
 HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
 # A HaloFn maps local H -> feature table (local rows + received ghost rows).
@@ -34,7 +34,7 @@ HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
 class GCN:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
                  edge_chunk: int = 0, optimize_order: bool = True,
-                 spmm_op=None):
+                 spmm_op=None, blk_rows: int = 0):
         """sorted_dst: edge arrays are CSC-ordered (dst ascending) — both
         build_batch and partition_graph guarantee this.
 
@@ -56,6 +56,9 @@ class GCN:
         # Optional bound Pallas SpMM (ops/pallas_spmm.PallasSpMM) for this
         # graph's sparsity pattern; falls back to the XLA path when None.
         self.spmm_op = spmm_op
+        # dst-blocked aggregation (large-V segment_sum cliff): static block
+        # row count; batch.aux["blk"] carries the arrays when enabled.
+        self.blk_rows = blk_rows
 
     def _aggregate_split(self, h, batch, ghosts):
         """Overlap path: interior aggregation has no dependency on the halo
@@ -71,6 +74,10 @@ class GCN:
         return out_i + out_b
 
     def _aggregate(self, h, batch, table):
+        blk = (batch.aux or {}).get("blk")
+        if blk is not None and self.blk_rows:
+            out = spmm_dst_blocked(table, blk, h.shape[0], self.blk_rows)
+            return out + h * batch.self_val[:, None].astype(h.dtype)
         if self.spmm_op is not None:
             arrays = (batch.aux or {}).get("spmm", self.spmm_op.arrays)
             out = self.spmm_op.apply(arrays, table, batch.edge_val.astype(h.dtype))
