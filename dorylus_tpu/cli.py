@@ -40,8 +40,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parts-file", default=None,
                    help="METIS-style parts file (with --partition metis)")
     p.add_argument("--edge-chunk", type=int, default=0)
-    p.add_argument("--kernel", default="xla", choices=["xla", "pallas"],
-                   help="aggregation kernel (pallas = TPU chain SpMM)")
+    p.add_argument("--kernel", default="xla",
+                   choices=["xla", "pallas", "degree"],
+                   help="aggregation kernel (pallas = TPU chain SpMM, "
+                        "degree = degree-padded blocked)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--staleness", type=int, default=None,
                    help="accepted for reference-CLI parity; TPU engine is "

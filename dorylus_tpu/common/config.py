@@ -110,6 +110,7 @@ class TrainConfig:
 
     # Aggregation kernel knobs
     kernel: str = "xla"  # "xla" (segment_sum) | "pallas" (chain kernel)
+    #                      | "degree" (degree-padded blocked, ops/degree_spmm)
     edge_chunk: int = 0  # SpMM edge-chunk size; 0 = unchunked
     optimize_order: bool = True  # transform-before-aggregate when it shrinks F
 

@@ -57,6 +57,11 @@ class Engine:
             spmm_op = PallasSpMM(graph.src, graph.dst,
                                  graph.num_vertices, graph.num_vertices)
             aux = {"spmm": spmm_op.arrays}
+        elif cfg.kernel == "degree":
+            from dorylus_tpu.ops.degree_spmm import DegreeSpMM
+            spmm_op = DegreeSpMM(graph.src, graph.dst,
+                                 graph.num_vertices, graph.num_vertices)
+            aux = {"spmm": spmm_op.arrays}
         elif graph.num_vertices > 400_000:
             # Large-V segment_sum cliff (its output falls out of VMEM):
             # dst-blocked aggregation keeps each reduction in the fast

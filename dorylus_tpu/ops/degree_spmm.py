@@ -1,0 +1,203 @@
+"""Degree-padded blocked SpMM — the fast XLA aggregation path.
+
+Replaces the reference's per-vertex CSC aggregation loop
+(src/graph-server/engine/ops/gcn_ops.cpp:130-191) with a layout that turns
+the variable-degree segment reduction into fixed-width work XLA runs at
+streaming bandwidth.
+
+Why (measured on TPU v5e, Reddit-shaped graph V=233k E=11.6M F=128,
+tools/probe_gather.py):
+  - flat gather+sorted-segment_sum SpMM: 175 ms  (67 M edges/s)
+      gather h[src]            68 ms  (87 GB/s)
+      sorted segment_sum      108 ms  (55 GB/s)
+  - fixed-width reshape(...).sum(1) reduce of the same bytes: 12 ms
+    (493 GB/s) — segment_sum wastes ~9x on the variable-length segments.
+
+Layout: edges arrive dst-sorted (CSC). Each vertex's edge run is padded to
+a multiple of `block` slots; pad slots carry val=0 and gather an arbitrary
+row (zero weight kills them in fwd AND bwd). The slot grid (R, block)
+then reduces with a dense fused  gather -> scale -> sum(axis=1)  and a
+final short sorted segment_sum over the per-vertex block rows (R ≈ E/block
++ V rows, cheap).
+
+Backward: custom VJP. dL/dh is the same kernel over the transposed graph
+(its own plan, built once); dL/dval is an edge-chunked SDDMM. This replaces
+the reference's hand-written backward aggregate (gcn_ops.cpp:130-153 dir
+BACKWARD) and keeps autodiff from emitting XLA scatter-add (measured ~1.15 s
+for 11.6M edges on v5e).
+
+Like the Pallas plan arrays, the plan MUST ride jit arguments (the batch
+pytree), never closures.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_degree_plan(src: np.ndarray, dst: np.ndarray,
+                      edge_ids: np.ndarray | None,
+                      num_out: int, block: int = 16) -> dict:
+    """Host-side plan. Requires dst ascending (CSC order).
+
+    edge_ids: original edge index of each (src, dst) pair — identity for
+    the forward plan, the transpose permutation for the backward plan —
+    so dynamic edge values (GAT attention) can be routed into slots.
+    """
+    e = len(src)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if edge_ids is None:
+        edge_ids = np.arange(e, dtype=np.int64)
+    deg = np.bincount(dst, minlength=num_out)
+    nblk = -(-deg // block)  # ceil; 0 for isolated vertices
+    r = max(1, int(nblk.sum()))
+    block_row = np.repeat(np.arange(num_out, dtype=np.int64), nblk)
+    if len(block_row) == 0:
+        block_row = np.zeros(1, np.int64)
+    vstart = np.zeros(num_out + 1, np.int64)
+    np.cumsum(nblk * block, out=vstart[1:])
+    estart = np.zeros(num_out + 1, np.int64)
+    np.cumsum(deg, out=estart[1:])
+    slot = vstart[dst] + (np.arange(e) - estart[dst])
+
+    n_slots = r * block
+    slot_src = np.zeros(n_slots, np.int32)
+    slot_to_edge = np.full(n_slots, e, np.int64)  # e == padding sentinel
+    slot_src[slot] = src
+    slot_to_edge[slot] = edge_ids
+    return {
+        "slot_src": slot_src.reshape(r, block),
+        "slot_to_edge": slot_to_edge.astype(np.int32).reshape(r, block),
+        "block_row": block_row.astype(np.int32),
+    }
+
+
+def spmm_degree(h_table: jnp.ndarray, plan: dict, num_out: int,
+                val: jnp.ndarray, row_chunk: int = 0,
+                gather_dtype=None) -> jnp.ndarray:
+    """out[v] = sum_{e: dst[e]=v} val[e] * h_table[src[e]] over a
+    build_degree_plan layout. Always f32 accumulation/output."""
+    val_ext = jnp.concatenate([val.astype(jnp.float32),
+                               jnp.zeros((1,), jnp.float32)])
+    vals = val_ext[plan["slot_to_edge"]]  # (R, B)
+    table = h_table if gather_dtype is None else h_table.astype(gather_dtype)
+
+    def reduce_rows(s, v):
+        msgs = table[s].astype(jnp.float32) * v[..., None]
+        return msgs.sum(axis=1)  # (r, F) f32
+
+    r = plan["slot_src"].shape[0]
+    if row_chunk and r > row_chunk:
+        n = -(-r // row_chunk)
+        pad = n * row_chunk - r
+        s_p = jnp.pad(plan["slot_src"], ((0, pad), (0, 0)))
+        v_p = jnp.pad(vals, ((0, pad), (0, 0)))
+
+        def body(_, ch):
+            return None, reduce_rows(*ch)
+
+        _, parts = jax.lax.scan(
+            body, None, (s_p.reshape(n, row_chunk, -1),
+                         v_p.reshape(n, row_chunk, -1)))
+        part = parts.reshape(n * row_chunk, -1)[:r]
+    else:
+        part = reduce_rows(plan["slot_src"], vals)
+    return jax.ops.segment_sum(part, plan["block_row"],
+                               num_segments=num_out,
+                               indices_are_sorted=True)
+
+
+def _sddmm_chunked(h, gout, src, dst, chunk: int = 1 << 20):
+    """dval[e] = <h[src e], gout[dst e]> without materializing (E, F)."""
+    e = src.shape[0]
+    hf = h.astype(jnp.float32)
+    gf = gout.astype(jnp.float32)
+    if e <= chunk:
+        return jnp.sum(hf[src] * gf[dst], axis=1)
+    n_chunks = -(-e // chunk)
+    pad = n_chunks * chunk - e
+    sp = jnp.concatenate([src, jnp.zeros(pad, src.dtype)])
+    dp = jnp.concatenate([dst, jnp.zeros(pad, dst.dtype)])
+
+    def body(_, ch):
+        s, d = ch
+        return None, jnp.sum(hf[s] * gf[d], axis=1)
+
+    _, outs = jax.lax.scan(body, None,
+                           (sp.reshape(n_chunks, -1), dp.reshape(n_chunks, -1)))
+    return outs.reshape(-1)[:e]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def degree_spmm_apply(static, arrs, h, val):
+    """static: (num_in, num_out, row_chunk, gather_dtype)."""
+    _, num_out, row_chunk, gdt = static
+    return spmm_degree(h, arrs["fwd"], num_out, val, row_chunk, gdt)
+
+
+def _apply_fwd(static, arrs, h, val):
+    return degree_spmm_apply(static, arrs, h, val), (arrs, h, val)
+
+
+def _apply_bwd(static, res, gout):
+    arrs, h, val = res
+    num_in, _, row_chunk, gdt = static
+    dh = spmm_degree(gout, arrs["bwd"], num_in, val, row_chunk,
+                     gdt)[: h.shape[0]].astype(h.dtype)
+    dval = _sddmm_chunked(h, gout, arrs["src"], arrs["dst"]).astype(val.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh, dval
+
+
+degree_spmm_apply.defvjp(_apply_fwd, _apply_bwd)
+
+
+class DegreeSpMM:
+    """out[v] = sum_{e: dst[e]=v} val[e] * h[src[e]], differentiable in h
+    and val, sparsity pattern bound at construction. Same protocol as
+    ops.pallas_spmm.PallasSpMM: pass `.arrays` through jit arguments and
+    call `.apply(arrays, h, val)`.
+
+    num_in may exceed h's rows (halo tables); h is indexed as given, the
+    backward dh is truncated to h's rows by _apply_bwd.
+    """
+
+    def __init__(self, src, dst, num_in: int, num_out: int, block: int = 16,
+                 row_chunk: int = 0, gather_dtype=None):
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+        e = len(src)
+        assert e == 0 or (np.diff(dst) >= 0).all(), "edges must be dst-sorted"
+        if row_chunk == 0 and e * 16 * 4 > 1 << 31:
+            # Keep the (R, B, F) gather intermediate bounded at scale in
+            # case XLA materializes it (analog of spmm_edgewise edge_chunk).
+            row_chunk = 1 << 18
+        order = np.argsort(src, kind="stable")
+        self.num_in, self.num_out = num_in, num_out
+        self.block = block
+        self.arrays = {
+            "fwd": build_degree_plan(src, dst, None, num_out, block),
+            "bwd": build_degree_plan(dst[order], src[order], order,
+                                     num_in, block),
+            "src": jnp.asarray(src.astype(np.int32)),
+            "dst": jnp.asarray(dst.astype(np.int32)),
+        }
+        self.arrays["fwd"] = {k: jnp.asarray(v)
+                              for k, v in self.arrays["fwd"].items()}
+        self.arrays["bwd"] = {k: jnp.asarray(v)
+                              for k, v in self.arrays["bwd"].items()}
+        self.static = (num_in, num_out, row_chunk,
+                       None if gather_dtype is None else jnp.dtype(gather_dtype))
+
+    def apply(self, arrays, h, val):
+        return degree_spmm_apply(self.static, arrays, h, val)
+
+    def __call__(self, h, val):
+        return degree_spmm_apply(self.static, self.arrays, h, val)

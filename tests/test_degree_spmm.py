@@ -1,0 +1,142 @@
+"""DegreeSpMM (degree-padded blocked aggregation) must match the edgewise
+oracle exactly — forward, both gradients, chunked rows, halo tables, and
+dynamic edge values (GAT attention routing through slot_to_edge)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dorylus_tpu.ops.degree_spmm import DegreeSpMM
+from dorylus_tpu.ops.spmm import spmm_edgewise
+
+
+def _random_graph(v_in, v_out, e, f, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, v_in, size=e).astype(np.int32)
+    dst = np.sort(rng.integers(0, v_out, size=e).astype(np.int32))
+    val = rng.normal(0, 1, size=e).astype(np.float32)
+    h = rng.normal(0, 1, size=(v_in, f)).astype(np.float32)
+    return src, dst, val, h
+
+
+def _oracle(src, dst, val, h, v_out):
+    out = np.zeros((v_out, h.shape[1]), np.float32)
+    for e in range(len(src)):
+        out[dst[e]] += val[e] * h[src[e]]
+    return out
+
+
+@pytest.mark.parametrize("block", [4, 8, 16])
+def test_forward_matches_oracle(block):
+    src, dst, val, h = _random_graph(57, 41, 400, 9, seed=3)
+    ref = _oracle(src, dst, val, h, 41)
+    op = DegreeSpMM(src, dst, 57, 41, block=block)
+    out = np.asarray(op(jnp.asarray(h), jnp.asarray(val)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_edgewise():
+    src, dst, val, h = _random_graph(57, 41, 400, 9, seed=5)
+    op = DegreeSpMM(src, dst, 57, 41, block=8)
+    sj, dj = jnp.asarray(src), jnp.asarray(dst)
+
+    def loss_deg(h, v):
+        return (op.apply(op.arrays, h, v) ** 2).sum()
+
+    def loss_ew(h, v):
+        return (spmm_edgewise(h, sj, dj, v, 41, sorted_dst=True) ** 2).sum()
+
+    gd = jax.grad(loss_deg, argnums=(0, 1))(jnp.asarray(h), jnp.asarray(val))
+    ge = jax.grad(loss_ew, argnums=(0, 1))(jnp.asarray(h), jnp.asarray(val))
+    np.testing.assert_allclose(np.asarray(gd[0]), np.asarray(ge[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(ge[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_row_chunk_matches_unchunked():
+    src, dst, val, h = _random_graph(57, 41, 400, 9, seed=7)
+    a = DegreeSpMM(src, dst, 57, 41, block=8)
+    b = DegreeSpMM(src, dst, 57, 41, block=8, row_chunk=7)
+    oa = np.asarray(a(jnp.asarray(h), jnp.asarray(val)))
+    ob = np.asarray(b(jnp.asarray(h), jnp.asarray(val)))
+    np.testing.assert_allclose(oa, ob, rtol=1e-5, atol=1e-6)
+
+
+def test_halo_table_larger_than_num_in_rows():
+    """h may include ghost rows past num_in; bwd dh is truncated to h rows."""
+    src, dst, val, h = _random_graph(57, 41, 400, 9, seed=9)
+    h_big = np.vstack([h, np.zeros((5, 9), np.float32)])
+    op = DegreeSpMM(src, dst, 62, 41, block=8)
+    out = np.asarray(op(jnp.asarray(h_big), jnp.asarray(val)))
+    np.testing.assert_allclose(out, _oracle(src, dst, val, h, 41),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(hh):
+        return op.apply(op.arrays, hh, jnp.asarray(val)).sum()
+
+    g = jax.grad(loss)(jnp.asarray(h_big))
+    assert g.shape == h_big.shape
+
+
+def test_dynamic_edge_values_follow_edge_order():
+    """val is given in original edge order (the GAT attention contract):
+    permuting (src,dst,val) together must not change the result."""
+    src, dst, val, h = _random_graph(30, 30, 200, 5, seed=11)
+    op = DegreeSpMM(src, dst, 30, 30, block=4)
+    out1 = np.asarray(op(jnp.asarray(h), jnp.asarray(val)))
+    ref = _oracle(src, dst, val, h, 30)
+    np.testing.assert_allclose(out1, ref, rtol=1e-5, atol=1e-5)
+    # different val, same structure -> slot routing must track edges
+    val2 = val * np.arange(1, len(val) + 1, dtype=np.float32)
+    out2 = np.asarray(op(jnp.asarray(h), jnp.asarray(val2)))
+    np.testing.assert_allclose(out2, _oracle(src, dst, val2, h, 30),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_empty_and_isolated_vertices():
+    """Vertices with zero in-degree must produce zero rows."""
+    src = np.array([0, 1, 2], np.int32)
+    dst = np.array([1, 1, 3], np.int32)
+    val = np.ones(3, np.float32)
+    h = np.eye(5, dtype=np.float32)
+    op = DegreeSpMM(src, dst, 5, 5, block=4)
+    out = np.asarray(op(jnp.asarray(h), jnp.asarray(val)))
+    ref = _oracle(src, dst, val, h, 5)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    assert np.all(out[0] == 0) and np.all(out[2] == 0) and np.all(out[4] == 0)
+
+
+def test_zero_edges():
+    op = DegreeSpMM(np.zeros(0, np.int32), np.zeros(0, np.int32), 4, 4)
+    out = np.asarray(op(jnp.eye(4), jnp.zeros(0, jnp.float32)))
+    assert np.all(out == 0)
+
+
+def test_degree_engine_matches_xla():
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.graph.graph import synthetic_graph
+
+    g = synthetic_graph(300, 6, 16, 4, seed=41)
+    layers = LayerConfig([16, 8, 4])
+    r_x = Engine(g, layers, TrainConfig(epochs=4, eval_every=0)).run()
+    r_d = Engine(g, layers, TrainConfig(epochs=4, eval_every=0,
+                                        kernel="degree")).run()
+    for ex, ed in zip(r_x.epochs, r_d.epochs):
+        np.testing.assert_allclose(ex.loss, ed.loss, rtol=5e-4, atol=1e-6)
+
+
+def test_degree_engine_gat():
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.graph.graph import synthetic_graph
+
+    g = synthetic_graph(200, 5, 12, 3, seed=43)
+    layers = LayerConfig([12, 6, 3])
+    cfg = dict(model="gat", epochs=3, eval_every=0, learning_rate=0.005)
+    r_x = Engine(g, layers, TrainConfig(**cfg)).run()
+    r_d = Engine(g, layers, TrainConfig(**cfg, kernel="degree")).run()
+    for ex, ed in zip(r_x.epochs, r_d.epochs):
+        np.testing.assert_allclose(ex.loss, ed.loss, rtol=1e-3, atol=1e-6)
