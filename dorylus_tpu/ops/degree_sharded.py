@@ -1,0 +1,88 @@
+"""Sharded degree-padded SpMM: uniform per-shard plans under one SPMD program.
+
+Same construction as ops/pallas_sharded.py for the chain kernel: shard_map
+compiles ONE program for all devices, so the per-shard degree plans
+(ops/degree_spmm.py) must share identical static shapes. Degree plans only
+have one shape degree of freedom — the block-row count R — so uniformity is
+just padding every shard's plan to the cross-shard max R with dead rows
+(slot_to_edge = ep sentinel -> val 0 -> zero contribution; block_row padded
+with num_out-1 to keep the sorted-segment invariant).
+
+All shards share the same edge count ep, table height (vp + n*max_h) and
+output rows vp by construction (graph/partition.py), so val/sentinel and
+the num_in/num_out statics are uniform for free.
+
+Exposes the PallasSpMM/DegreeSpMM protocol (.arrays stacked on a leading
+shard axis for PartitionSpec('graph', ...), .apply(arrays, h, val)), so
+models use it unchanged via batch.aux["spmm"].
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from dorylus_tpu.graph.partition import ShardedGraph
+from dorylus_tpu.ops.degree_spmm import build_degree_plan, degree_spmm_apply
+
+
+def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
+    """Pad each plan's block rows to the cross-shard max and stack."""
+    rmax = max(p["slot_src"].shape[0] for p in plans)
+    out = {"slot_src": [], "slot_to_edge": [], "block_row": []}
+    for p in plans:
+        pad = rmax - p["slot_src"].shape[0]
+        out["slot_src"].append(np.pad(p["slot_src"], ((0, pad), (0, 0))))
+        out["slot_to_edge"].append(
+            np.pad(p["slot_to_edge"], ((0, pad), (0, 0)),
+                   constant_values=sentinel))
+        out["block_row"].append(
+            np.pad(p["block_row"], (0, pad), constant_values=num_out - 1))
+    return {k: np.stack(v) for k, v in out.items()}
+
+
+class ShardedDegreeSpMM:
+    """Per-shard degree plans with uniform R; arrays stacked on a leading
+    shard axis. apply() is called inside shard_map with this shard's
+    (squeezed) arrays."""
+
+    def __init__(self, sharded: ShardedGraph, block: int = 16,
+                 row_chunk: int = 0, gather_dtype=None):
+        n = sharded.n_shards
+        table = sharded.vp + n * sharded.max_h
+        vp = sharded.vp
+        ep = len(sharded.shards[0].src)
+        assert all(len(s.src) == ep for s in sharded.shards), \
+            "shards must share a padded edge count"
+
+        fwd_plans, bwd_plans = [], []
+        for s in sharded.shards:
+            src = np.asarray(s.src)
+            dst = np.asarray(s.dst)
+            # Shard edge arrays are dst-sorted for the REAL edges but carry
+            # padding edges (val 0) at the tail pointing at vertex 0 —
+            # re-sort and route runtime vals through edge_ids so pads land
+            # in slots where their zero weight silences them.
+            of = np.argsort(dst, kind="stable")
+            fwd_plans.append(build_degree_plan(src[of], dst[of], of, vp,
+                                               block))
+            ob = np.argsort(src, kind="stable")
+            bwd_plans.append(build_degree_plan(dst[ob], src[ob], ob,
+                                               table, block))
+
+        if row_chunk == 0 and ep * block * 4 > 1 << 31:
+            row_chunk = 1 << 18  # bound (R, B, F) like DegreeSpMM
+
+        self.arrays = {
+            "fwd": _stack_uniform(fwd_plans, vp, ep),
+            "bwd": _stack_uniform(bwd_plans, table, ep),
+            "src": np.stack([np.asarray(s.src, np.int32)
+                             for s in sharded.shards]),
+            "dst": np.stack([np.asarray(s.dst, np.int32)
+                             for s in sharded.shards]),
+        }
+        self.static = (table, vp, row_chunk,
+                       None if gather_dtype is None else np.dtype(gather_dtype))
+
+    def apply(self, arrays: dict, h, val):
+        return degree_spmm_apply(self.static, arrays, h, val)

@@ -67,7 +67,7 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     """Returns (step_fn, eval_fn) jitted over the mesh."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     overlap = (getattr(cfg, "overlap", True) and mesh.shape[GRAPH_AXIS] > 1
-               and cfg.kernel != "pallas")
+               and cfg.kernel not in ("pallas", "degree"))
     # A prefix spec: every arrs leaf is sharded along its leading shard axis
     # (including nested Pallas plan arrays).
     data_spec = P(GRAPH_AXIS)
@@ -148,6 +148,11 @@ class ShardedEngine:
             # Per-shard chain plans with uniform statics (one SPMD program).
             from dorylus_tpu.ops.pallas_sharded import ShardedPallasSpMM
             spmm_op = ShardedPallasSpMM(self.sharded)
+            stacked["pallas"] = spmm_op.arrays
+        elif cfg.kernel == "degree":
+            # Per-shard degree plans padded to uniform block-row counts.
+            from dorylus_tpu.ops.degree_sharded import ShardedDegreeSpMM
+            spmm_op = ShardedDegreeSpMM(self.sharded)
             stacked["pallas"] = spmm_op.arrays
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
                           optimize_order=cfg.optimize_order, spmm_op=spmm_op)
