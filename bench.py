@@ -82,6 +82,7 @@ def main():
 
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
     from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.ops.degree_spmm import DegreeSpMM
     from dorylus_tpu.ops.spmm import spmm_edgewise
 
     platform = jax.devices()[0].platform
@@ -101,17 +102,27 @@ def main():
     dst = jnp.asarray(g.dst)
     val = jnp.asarray(g.edge_norm)
 
+    # Headline kernel: degree-padded blocked SpMM (ops/degree_spmm.py) —
+    # measured ~2x the edgewise segment_sum path on v5e at this scale.
+    deg_op = DegreeSpMM(np.asarray(g.src), np.asarray(g.dst), V, V, block=16)
+
+    def agg_deg(h, arrs, val):
+        return deg_op.apply(arrs, h, val)
+
+    dt = time_loop(agg_deg, h, deg_op.arrays, val,
+                   iters=10 if on_tpu else 3)
+    edges_per_s = E / dt
+
     def agg(h, src, dst, val):
         return spmm_edgewise(h, src, dst, val, V, sorted_dst=True)
 
-    dt = time_loop(agg, h, src, dst, val, iters=10 if on_tpu else 3)
-    edges_per_s = E / dt
+    dt_ew = time_loop(agg, h, src, dst, val, iters=10 if on_tpu else 3)
 
     # --- baseline: host-CPU scipy CSR SpMM (reference CPU-mode analog) ---
     cpu_eps = cpu_spmm_baseline(g, np.asarray(h))
 
     # --- extra: full GCN training epoch (Reddit config 602-128-41) ---
-    cfg = TrainConfig(epochs=3, eval_every=0)
+    cfg = TrainConfig(epochs=3, eval_every=0, kernel="degree")
     eng = Engine(g, LayerConfig([602, 128, 41]), cfg)
     rep = eng.run(3)
     epoch_ms = rep.epochs[-1].time_ms
@@ -127,6 +138,9 @@ def main():
             "num_edges": E,
             "feature_dim": F_HID,
             "spmm_ms": round(dt * 1e3, 3),
+            "kernel": "degree",
+            "edgewise_spmm_ms": round(dt_ew * 1e3, 3),
+            "edgewise_edges_per_s": round(E / dt_ew, 1),
             "cpu_scipy_edges_per_s": round(cpu_eps, 1),
             "gcn_reddit_config_epoch_ms": round(epoch_ms, 2),
         },

@@ -29,7 +29,8 @@ from dorylus_tpu.ops.degree_spmm import build_degree_plan, degree_spmm_apply
 def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
     """Pad each plan's block rows to the cross-shard max and stack."""
     rmax = max(p["slot_src"].shape[0] for p in plans)
-    out = {"slot_src": [], "slot_to_edge": [], "block_row": []}
+    out = {"slot_src": [], "slot_to_edge": [], "block_row": [],
+           "edge_to_slot": []}
     for p in plans:
         pad = rmax - p["slot_src"].shape[0]
         out["slot_src"].append(np.pad(p["slot_src"], ((0, pad), (0, 0))))
@@ -38,6 +39,9 @@ def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
                    constant_values=sentinel))
         out["block_row"].append(
             np.pad(p["block_row"], (0, pad), constant_values=num_out - 1))
+        # Row padding appends past the real rows, so flat slot indices in
+        # the inverse map stay valid unchanged (uniform length = ep).
+        out["edge_to_slot"].append(p["edge_to_slot"])
     return {k: np.stack(v) for k, v in out.items()}
 
 
@@ -76,10 +80,6 @@ class ShardedDegreeSpMM:
         self.arrays = {
             "fwd": _stack_uniform(fwd_plans, vp, ep),
             "bwd": _stack_uniform(bwd_plans, table, ep),
-            "src": np.stack([np.asarray(s.src, np.int32)
-                             for s in sharded.shards]),
-            "dst": np.stack([np.asarray(s.dst, np.int32)
-                             for s in sharded.shards]),
         }
         self.static = (table, vp, row_chunk,
                        None if gather_dtype is None else np.dtype(gather_dtype))

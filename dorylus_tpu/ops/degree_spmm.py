@@ -21,10 +21,22 @@ final short sorted segment_sum over the per-vertex block rows (R ≈ E/block
 + V rows, cheap).
 
 Backward: custom VJP. dL/dh is the same kernel over the transposed graph
-(its own plan, built once); dL/dval is an edge-chunked SDDMM. This replaces
-the reference's hand-written backward aggregate (gcn_ops.cpp:130-153 dir
-BACKWARD) and keeps autodiff from emitting XLA scatter-add (measured ~1.15 s
-for 11.6M edges on v5e).
+(its own plan, built once); dL/dval is FUSED into that pass — the slots of
+the transposed plan gather gout[dst e] for dh anyway, so
+dval[e] = <h[src e], gout[dst e]> is one extra F-reduction against
+h[block_row] plus an E-element gather through the inverse slot map (no
+scatter, no second sweep over the edge bytes). This replaces the
+reference's hand-written backward aggregate (gcn_ops.cpp:130-153 dir
+BACKWARD) and keeps autodiff from emitting XLA scatter-add (measured
+~1.15 s for 11.6M edges on v5e).
+
+Measured (v5e, V=233k E=11.6M F=128, block=16, tools/probe_degree_bwd.py;
+data-dependent cotangents — a constant-ones cotangent lets XLA DCE the
+forward and fold the gathers, inflating grad numbers ~10x):
+                        degree      edgewise     speedup
+  fwd                    89 ms       171 ms       1.9x
+  fwd+dh     (GCN)      172 ms       440 ms       2.6x
+  fwd+dh+dval (GAT)     264 ms       444 ms       1.7x
 
 Like the Pallas plan arrays, the plan MUST ride jit arguments (the batch
 pytree), never closures.
@@ -70,11 +82,66 @@ def build_degree_plan(src: np.ndarray, dst: np.ndarray,
     slot_to_edge = np.full(n_slots, e, np.int64)  # e == padding sentinel
     slot_src[slot] = src
     slot_to_edge[slot] = edge_ids
+    # Inverse map: original edge id -> flat slot (for the fused-SDDMM bwd).
+    edge_to_slot = np.zeros(max(1, e), np.int64)
+    edge_to_slot[edge_ids] = slot
     return {
         "slot_src": slot_src.reshape(r, block),
         "slot_to_edge": slot_to_edge.astype(np.int32).reshape(r, block),
         "block_row": block_row.astype(np.int32),
+        "edge_to_slot": edge_to_slot.astype(np.int32),
     }
+
+
+def _degree_pass(h_table: jnp.ndarray, plan: dict, num_out: int,
+                 val: jnp.ndarray, row_chunk: int = 0, gather_dtype=None,
+                 other: jnp.ndarray | None = None):
+    """Core slot-grid pass: out[v] = sum_{slots of v} val * h_table[slot_src].
+
+    When `other` is given (the fused-SDDMM backward), also returns the
+    per-edge dot products dval[e] = <h_table[slot of e], other[row of e]>
+    pulled back into original edge order via plan["edge_to_slot"] — one
+    F-reduction on the already-gathered slot messages plus an E-gather,
+    instead of a second sweep over the edge bytes. Always f32 accumulation.
+    """
+    val_ext = jnp.concatenate([val.astype(jnp.float32),
+                               jnp.zeros((1,), jnp.float32)])
+    vals = val_ext[plan["slot_to_edge"]]  # (R, B)
+    table = h_table if gather_dtype is None else h_table.astype(gather_dtype)
+    hb = None if other is None else other[plan["block_row"]]  # (R, F)
+
+    def reduce_rows(s, v, hb_):
+        msgs = table[s].astype(jnp.float32)  # (r, B, F)
+        dh = (msgs * v[..., None]).sum(axis=1)  # (r, F) f32
+        if hb_ is None:
+            return dh, None
+        dv = (msgs * hb_[:, None, :].astype(jnp.float32)).sum(-1)  # (r, B)
+        return dh, dv
+
+    r = plan["slot_src"].shape[0]
+    if row_chunk and r > row_chunk:
+        n = -(-r // row_chunk)
+        pad = n * row_chunk - r
+        chunked = [jnp.pad(x, ((0, pad), (0, 0))).reshape(n, row_chunk, -1)
+                   for x in (plan["slot_src"], vals)
+                   + (() if hb is None else (hb,))]
+
+        def body(_, ch):
+            s, v = ch[0], ch[1]
+            return None, reduce_rows(s, v, ch[2] if len(ch) > 2 else None)
+
+        _, (parts, dvs) = jax.lax.scan(body, None, tuple(chunked))
+        part = parts.reshape(n * row_chunk, -1)[:r]
+        dv = None if dvs is None else dvs.reshape(n * row_chunk, -1)[:r]
+    else:
+        part, dv = reduce_rows(plan["slot_src"], vals, hb)
+    out = jax.ops.segment_sum(part, plan["block_row"],
+                              num_segments=num_out,
+                              indices_are_sorted=True)
+    if other is None:
+        return out
+    dval = dv.ravel()[plan["edge_to_slot"]][: val.shape[0]]
+    return out, dval
 
 
 def spmm_degree(h_table: jnp.ndarray, plan: dict, num_out: int,
@@ -82,55 +149,7 @@ def spmm_degree(h_table: jnp.ndarray, plan: dict, num_out: int,
                 gather_dtype=None) -> jnp.ndarray:
     """out[v] = sum_{e: dst[e]=v} val[e] * h_table[src[e]] over a
     build_degree_plan layout. Always f32 accumulation/output."""
-    val_ext = jnp.concatenate([val.astype(jnp.float32),
-                               jnp.zeros((1,), jnp.float32)])
-    vals = val_ext[plan["slot_to_edge"]]  # (R, B)
-    table = h_table if gather_dtype is None else h_table.astype(gather_dtype)
-
-    def reduce_rows(s, v):
-        msgs = table[s].astype(jnp.float32) * v[..., None]
-        return msgs.sum(axis=1)  # (r, F) f32
-
-    r = plan["slot_src"].shape[0]
-    if row_chunk and r > row_chunk:
-        n = -(-r // row_chunk)
-        pad = n * row_chunk - r
-        s_p = jnp.pad(plan["slot_src"], ((0, pad), (0, 0)))
-        v_p = jnp.pad(vals, ((0, pad), (0, 0)))
-
-        def body(_, ch):
-            return None, reduce_rows(*ch)
-
-        _, parts = jax.lax.scan(
-            body, None, (s_p.reshape(n, row_chunk, -1),
-                         v_p.reshape(n, row_chunk, -1)))
-        part = parts.reshape(n * row_chunk, -1)[:r]
-    else:
-        part = reduce_rows(plan["slot_src"], vals)
-    return jax.ops.segment_sum(part, plan["block_row"],
-                               num_segments=num_out,
-                               indices_are_sorted=True)
-
-
-def _sddmm_chunked(h, gout, src, dst, chunk: int = 1 << 20):
-    """dval[e] = <h[src e], gout[dst e]> without materializing (E, F)."""
-    e = src.shape[0]
-    hf = h.astype(jnp.float32)
-    gf = gout.astype(jnp.float32)
-    if e <= chunk:
-        return jnp.sum(hf[src] * gf[dst], axis=1)
-    n_chunks = -(-e // chunk)
-    pad = n_chunks * chunk - e
-    sp = jnp.concatenate([src, jnp.zeros(pad, src.dtype)])
-    dp = jnp.concatenate([dst, jnp.zeros(pad, dst.dtype)])
-
-    def body(_, ch):
-        s, d = ch
-        return None, jnp.sum(hf[s] * gf[d], axis=1)
-
-    _, outs = jax.lax.scan(body, None,
-                           (sp.reshape(n_chunks, -1), dp.reshape(n_chunks, -1)))
-    return outs.reshape(-1)[:e]
+    return _degree_pass(h_table, plan, num_out, val, row_chunk, gather_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -147,13 +166,16 @@ def _apply_fwd(static, arrs, h, val):
 def _apply_bwd(static, res, gout):
     arrs, h, val = res
     num_in, _, row_chunk, gdt = static
-    dh = spmm_degree(gout, arrs["bwd"], num_in, val, row_chunk,
-                     gdt)[: h.shape[0]].astype(h.dtype)
-    dval = _sddmm_chunked(h, gout, arrs["src"], arrs["dst"]).astype(val.dtype)
+    # One pass over the transposed plan yields BOTH grads: the slots gather
+    # gout[dst e] for dh, and dval[e] = <h[src e], gout[dst e]> reuses those
+    # same gathered messages against h[block_row] (fused SDDMM).
+    dh_full, dval = _degree_pass(gout, arrs["bwd"], num_in, val, row_chunk,
+                                 gdt, other=h)
+    dh = dh_full[: h.shape[0]].astype(h.dtype)
     d_arrs = jax.tree.map(
         lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
         else None, arrs)
-    return d_arrs, dh, dval
+    return d_arrs, dh, dval.astype(val.dtype)
 
 
 degree_spmm_apply.defvjp(_apply_fwd, _apply_bwd)
@@ -186,8 +208,6 @@ class DegreeSpMM:
             "fwd": build_degree_plan(src, dst, None, num_out, block),
             "bwd": build_degree_plan(dst[order], src[order], order,
                                      num_in, block),
-            "src": jnp.asarray(src.astype(np.int32)),
-            "dst": jnp.asarray(dst.astype(np.int32)),
         }
         self.arrays["fwd"] = {k: jnp.asarray(v)
                               for k, v in self.arrays["fwd"].items()}
