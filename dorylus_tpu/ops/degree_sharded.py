@@ -69,10 +69,11 @@ class ShardedDegreeSpMM:
             # in slots where their zero weight silences them.
             of = np.argsort(dst, kind="stable")
             fwd_plans.append(build_degree_plan(src[of], dst[of], of, vp,
-                                               block))
+                                               block, out_block_rows=0))
             ob = np.argsort(src, kind="stable")
             bwd_plans.append(build_degree_plan(dst[ob], src[ob], ob,
-                                               table, block))
+                                               table, block,
+                                               out_block_rows=0))
 
         if row_chunk == 0 and ep * block * 4 > 1 << 31:
             row_chunk = 1 << 18  # bound (R, B, F) like DegreeSpMM
@@ -82,7 +83,8 @@ class ShardedDegreeSpMM:
             "bwd": _stack_uniform(bwd_plans, table, ep),
         }
         self.static = (table, vp, row_chunk,
-                       None if gather_dtype is None else np.dtype(gather_dtype))
+                       None if gather_dtype is None else np.dtype(gather_dtype),
+                       0, 0)  # per-shard vp stays under the large-V cliff
 
     def apply(self, arrays: dict, h, val):
         return degree_spmm_apply(self.static, arrays, h, val)

@@ -51,14 +51,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_OUT_BLOCK_AUTO_V = 400_000  # segment_sum VMEM cliff (see ops/spmm.py)
+
+
 def build_degree_plan(src: np.ndarray, dst: np.ndarray,
                       edge_ids: np.ndarray | None,
-                      num_out: int, block: int = 16) -> dict:
+                      num_out: int, block: int = 16,
+                      out_block_rows: int | None = None) -> dict:
     """Host-side plan. Requires dst ascending (CSC order).
 
     edge_ids: original edge index of each (src, dst) pair — identity for
     the forward plan, the transpose permutation for the backward plan —
     so dynamic edge values (GAT attention) can be routed into slots.
+
+    out_block_rows: block the FINAL segment reduction's output rows so it
+    stays under the large-V segment_sum cliff (ops/spmm.py
+    build_dst_blocks: ~12x collapse once the (V, F) output exceeds VMEM).
+    None = auto (on past 400k output rows), 0 = off, >0 = explicit block
+    height. Adds "out_idx"/"out_loc" (nb, rb) maps: per output block, the
+    part-rows that feed it (padded with the R sentinel row) and their
+    block-local destination rows.
     """
     e = len(src)
     src = np.asarray(src, np.int64)
@@ -85,17 +97,35 @@ def build_degree_plan(src: np.ndarray, dst: np.ndarray,
     # Inverse map: original edge id -> flat slot (for the fused-SDDMM bwd).
     edge_to_slot = np.zeros(max(1, e), np.int64)
     edge_to_slot[edge_ids] = slot
-    return {
+    plan = {
         "slot_src": slot_src.reshape(r, block),
         "slot_to_edge": slot_to_edge.astype(np.int32).reshape(r, block),
         "block_row": block_row.astype(np.int32),
         "edge_to_slot": edge_to_slot.astype(np.int32),
     }
+    if out_block_rows is None:
+        out_block_rows = 131072 if num_out > _OUT_BLOCK_AUTO_V else 0
+    if out_block_rows:
+        nb = -(-num_out // out_block_rows)
+        bounds = np.searchsorted(block_row, np.arange(nb + 1) * out_block_rows)
+        rb = max(8, int(-(-int(np.diff(bounds).max()) // 8) * 8))
+        out_idx = np.full((nb, rb), r, np.int32)  # r == zero-row sentinel
+        out_loc = np.full((nb, rb), out_block_rows - 1, np.int32)
+        for b in range(nb):
+            lo, hi = bounds[b], bounds[b + 1]
+            out_idx[b, : hi - lo] = np.arange(lo, hi)
+            out_loc[b, : hi - lo] = block_row[lo:hi] - b * out_block_rows
+        plan["out_idx"] = out_idx
+        plan["out_loc"] = out_loc
+        # Static block height: plain int, popped into statics by callers
+        # (must NOT ride the jit-traced plan arrays).
+        plan["_out_block_rows"] = out_block_rows
+    return plan
 
 
 def _degree_pass(h_table: jnp.ndarray, plan: dict, num_out: int,
                  val: jnp.ndarray, row_chunk: int = 0, gather_dtype=None,
-                 other: jnp.ndarray | None = None):
+                 other: jnp.ndarray | None = None, out_block_rows: int = 0):
     """Core slot-grid pass: out[v] = sum_{slots of v} val * h_table[slot_src].
 
     When `other` is given (the fused-SDDMM backward), also returns the
@@ -103,6 +133,9 @@ def _degree_pass(h_table: jnp.ndarray, plan: dict, num_out: int,
     pulled back into original edge order via plan["edge_to_slot"] — one
     F-reduction on the already-gathered slot messages plus an E-gather,
     instead of a second sweep over the edge bytes. Always f32 accumulation.
+
+    out_block_rows > 0 (with the plan's out_idx/out_loc maps) blocks the
+    final segment reduction's output rows below the large-V VMEM cliff.
     """
     val_ext = jnp.concatenate([val.astype(jnp.float32),
                                jnp.zeros((1,), jnp.float32)])
@@ -135,9 +168,23 @@ def _degree_pass(h_table: jnp.ndarray, plan: dict, num_out: int,
         dv = None if dvs is None else dvs.reshape(n * row_chunk, -1)[:r]
     else:
         part, dv = reduce_rows(plan["slot_src"], vals, hb)
-    out = jax.ops.segment_sum(part, plan["block_row"],
-                              num_segments=num_out,
-                              indices_are_sorted=True)
+    if out_block_rows and "out_idx" in plan:
+        part_ext = jnp.concatenate(
+            [part, jnp.zeros((1, part.shape[1]), part.dtype)])
+
+        def blk_body(_, ch):
+            idx, loc = ch
+            return None, jax.ops.segment_sum(part_ext[idx], loc,
+                                             num_segments=out_block_rows,
+                                             indices_are_sorted=True)
+
+        _, blocks = jax.lax.scan(blk_body, None,
+                                 (plan["out_idx"], plan["out_loc"]))
+        out = blocks.reshape(-1, part.shape[1])[:num_out]
+    else:
+        out = jax.ops.segment_sum(part, plan["block_row"],
+                                  num_segments=num_out,
+                                  indices_are_sorted=True)
     if other is None:
         return out
     dval = dv.ravel()[plan["edge_to_slot"]][: val.shape[0]]
@@ -149,14 +196,21 @@ def spmm_degree(h_table: jnp.ndarray, plan: dict, num_out: int,
                 gather_dtype=None) -> jnp.ndarray:
     """out[v] = sum_{e: dst[e]=v} val[e] * h_table[src[e]] over a
     build_degree_plan layout. Always f32 accumulation/output."""
-    return _degree_pass(h_table, plan, num_out, val, row_chunk, gather_dtype)
+    plan = dict(plan)
+    obr = plan.pop("_out_block_rows", 0)
+    return _degree_pass(h_table, plan, num_out, val, row_chunk, gather_dtype,
+                        out_block_rows=obr)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def degree_spmm_apply(static, arrs, h, val):
-    """static: (num_in, num_out, row_chunk, gather_dtype)."""
-    _, num_out, row_chunk, gdt = static
-    return spmm_degree(h, arrs["fwd"], num_out, val, row_chunk, gdt)
+    """static: (num_in, num_out, row_chunk, gather_dtype,
+    fwd_out_block_rows, bwd_out_block_rows) — the last two block the final
+    reduces below the large-V cliff (0 = plain segment_sum)."""
+    _, num_out, row_chunk, gdt = static[:4]
+    fwd_obr = static[4] if len(static) > 4 else 0
+    return _degree_pass(h, arrs["fwd"], num_out, val, row_chunk, gdt,
+                        out_block_rows=fwd_obr)
 
 
 def _apply_fwd(static, arrs, h, val):
@@ -165,12 +219,13 @@ def _apply_fwd(static, arrs, h, val):
 
 def _apply_bwd(static, res, gout):
     arrs, h, val = res
-    num_in, _, row_chunk, gdt = static
+    num_in, _, row_chunk, gdt = static[:4]
+    bwd_obr = static[5] if len(static) > 5 else 0
     # One pass over the transposed plan yields BOTH grads: the slots gather
     # gout[dst e] for dh, and dval[e] = <h[src e], gout[dst e]> reuses those
     # same gathered messages against h[block_row] (fused SDDMM).
     dh_full, dval = _degree_pass(gout, arrs["bwd"], num_in, val, row_chunk,
-                                 gdt, other=h)
+                                 gdt, other=h, out_block_rows=bwd_obr)
     dh = dh_full[: h.shape[0]].astype(h.dtype)
     d_arrs = jax.tree.map(
         lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
@@ -192,7 +247,8 @@ class DegreeSpMM:
     """
 
     def __init__(self, src, dst, num_in: int, num_out: int, block: int = 16,
-                 row_chunk: int = 0, gather_dtype=None):
+                 row_chunk: int = 0, gather_dtype=None,
+                 out_block_rows: int | None = None):
         src = np.asarray(src)
         dst = np.asarray(dst)
         e = len(src)
@@ -204,17 +260,19 @@ class DegreeSpMM:
         order = np.argsort(src, kind="stable")
         self.num_in, self.num_out = num_in, num_out
         self.block = block
+        fwd = build_degree_plan(src, dst, None, num_out, block,
+                                out_block_rows)
+        bwd = build_degree_plan(dst[order], src[order], order, num_in, block,
+                                out_block_rows)
+        fwd_obr = fwd.pop("_out_block_rows", 0)
+        bwd_obr = bwd.pop("_out_block_rows", 0)
         self.arrays = {
-            "fwd": build_degree_plan(src, dst, None, num_out, block),
-            "bwd": build_degree_plan(dst[order], src[order], order,
-                                     num_in, block),
+            "fwd": {k: jnp.asarray(v) for k, v in fwd.items()},
+            "bwd": {k: jnp.asarray(v) for k, v in bwd.items()},
         }
-        self.arrays["fwd"] = {k: jnp.asarray(v)
-                              for k, v in self.arrays["fwd"].items()}
-        self.arrays["bwd"] = {k: jnp.asarray(v)
-                              for k, v in self.arrays["bwd"].items()}
         self.static = (num_in, num_out, row_chunk,
-                       None if gather_dtype is None else jnp.dtype(gather_dtype))
+                       None if gather_dtype is None else jnp.dtype(gather_dtype),
+                       fwd_obr, bwd_obr)
 
     def apply(self, arrays, h, val):
         return degree_spmm_apply(self.static, arrays, h, val)

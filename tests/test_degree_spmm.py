@@ -140,3 +140,27 @@ def test_degree_engine_gat():
     r_d = Engine(g, layers, TrainConfig(**cfg, kernel="degree")).run()
     for ex, ed in zip(r_x.epochs, r_d.epochs):
         np.testing.assert_allclose(ex.loss, ed.loss, rtol=1e-3, atol=1e-6)
+
+
+def test_blocked_final_reduce_matches_plain():
+    """out_block_rows (the large-V cliff path) must be numerically
+    identical to the plain final segment_sum — fwd and both grads."""
+    src, dst, val, h = _random_graph(57, 41, 400, 9, seed=13)
+    plain = DegreeSpMM(src, dst, 57, 41, block=8, out_block_rows=0)
+    blocked = DegreeSpMM(src, dst, 57, 41, block=8, out_block_rows=7)
+    assert blocked.static[4] == 7 and blocked.static[5] == 7
+    assert "out_idx" in blocked.arrays["fwd"]
+    hj, vj = jnp.asarray(h), jnp.asarray(val)
+    np.testing.assert_allclose(np.asarray(plain(hj, vj)),
+                               np.asarray(blocked(hj, vj)),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(op):
+        return lambda hh, vv: (op.apply(op.arrays, hh, vv) ** 2).sum()
+
+    gp = jax.grad(loss(plain), argnums=(0, 1))(hj, vj)
+    gb = jax.grad(loss(blocked), argnums=(0, 1))(hj, vj)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gb[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gb[1]),
+                               rtol=1e-5, atol=1e-6)
