@@ -32,6 +32,18 @@ from dorylus_tpu.ops.activations import accuracy_and_loss, row_softmax
 from dorylus_tpu.optim.adam import AdamState, adam_init, adam_update, sgd_update
 
 
+def _max_agg_width(layers: LayerConfig, cfg: TrainConfig) -> int:
+    """Widest feature dim the SpMM will see. GCN with optimize_order
+    aggregates at min(in, out) per layer (transform-first when shrinking);
+    GAT aggregates z, i.e. the output width."""
+    dims = layers.dims
+    if cfg.model == "gat":
+        return max(dims[1:])
+    if cfg.optimize_order:
+        return max(min(a, b) for a, b in zip(dims, dims[1:]))
+    return max(dims[:-1])
+
+
 class Engine:
     """Single-host engine. For multi-device sharded training see
     dorylus_tpu.parallel.train_step.ShardedEngine (same external surface)."""
@@ -60,7 +72,8 @@ class Engine:
         elif cfg.kernel == "degree":
             from dorylus_tpu.ops.degree_spmm import DegreeSpMM
             spmm_op = DegreeSpMM(graph.src, graph.dst,
-                                 graph.num_vertices, graph.num_vertices)
+                                 graph.num_vertices, graph.num_vertices,
+                                 feature_dim=_max_agg_width(layers, cfg))
             aux = {"spmm": spmm_op.arrays}
         elif graph.num_vertices > 400_000:
             # Large-V segment_sum cliff (its output falls out of VMEM):

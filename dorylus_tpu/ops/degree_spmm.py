@@ -52,6 +52,7 @@ import numpy as np
 
 
 _OUT_BLOCK_AUTO_V = 400_000  # segment_sum VMEM cliff (see ops/spmm.py)
+_ROW_CHUNK_BYTES = 8 << 30  # auto row_chunk once (slots, F) nears HBM
 
 
 def build_degree_plan(src: np.ndarray, dst: np.ndarray,
@@ -248,15 +249,11 @@ class DegreeSpMM:
 
     def __init__(self, src, dst, num_in: int, num_out: int, block: int = 16,
                  row_chunk: int = 0, gather_dtype=None,
-                 out_block_rows: int | None = None):
+                 out_block_rows: int | None = None, feature_dim: int = 128):
         src = np.asarray(src)
         dst = np.asarray(dst)
         e = len(src)
         assert e == 0 or (np.diff(dst) >= 0).all(), "edges must be dst-sorted"
-        if row_chunk == 0 and e * 16 * 4 > 1 << 31:
-            # Keep the (R, B, F) gather intermediate bounded at scale in
-            # case XLA materializes it (analog of spmm_edgewise edge_chunk).
-            row_chunk = 1 << 18
         order = np.argsort(src, kind="stable")
         self.num_in, self.num_out = num_in, num_out
         self.block = block
@@ -264,6 +261,16 @@ class DegreeSpMM:
                                 out_block_rows)
         bwd = build_degree_plan(dst[order], src[order], order, num_in, block,
                                 out_block_rows)
+        if row_chunk == 0:
+            # XLA materializes the (slots, F) message tensor (measured:
+            # OOM at 17.5 GB for V=1.6M E=24M F=128). Chunk only when it
+            # would approach HBM — the scan-chunked pass is ~2.4x slower
+            # (tools/probe_degree_rowchunk.py), so this is strictly an
+            # OOM guard, not an optimization. feature_dim = the widest
+            # feature dim this op will aggregate.
+            slots = max(fwd["slot_src"].size, bwd["slot_src"].size)
+            if slots * max(feature_dim, 1) * 4 > _ROW_CHUNK_BYTES:
+                row_chunk = 1 << 18
         fwd_obr = fwd.pop("_out_block_rows", 0)
         bwd_obr = bwd.pop("_out_block_rows", 0)
         self.arrays = {

@@ -151,8 +151,10 @@ class ShardedEngine:
             stacked["pallas"] = spmm_op.arrays
         elif cfg.kernel == "degree":
             # Per-shard degree plans padded to uniform block-row counts.
+            from dorylus_tpu.engine.engine import _max_agg_width
             from dorylus_tpu.ops.degree_sharded import ShardedDegreeSpMM
-            spmm_op = ShardedDegreeSpMM(self.sharded)
+            spmm_op = ShardedDegreeSpMM(
+                self.sharded, feature_dim=_max_agg_width(layers, cfg))
             stacked["pallas"] = spmm_op.arrays
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
                           optimize_order=cfg.optimize_order, spmm_op=spmm_op)

@@ -164,3 +164,18 @@ def test_blocked_final_reduce_matches_plain():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gb[1]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_auto_row_chunk_is_oom_guard_only():
+    """row_chunk auto-enables only when the (slots, F) message tensor would
+    approach HBM; small graphs must stay unchunked (it costs ~2.4x)."""
+    src, dst, val, h = _random_graph(57, 41, 400, 9, seed=17)
+    small = DegreeSpMM(src, dst, 57, 41, block=8, feature_dim=128)
+    assert small.static[2] == 0
+    huge_f = DegreeSpMM(src, dst, 57, 41, block=8,
+                        feature_dim=(8 << 30) // (4 * 400) + 41 * 8)
+    assert huge_f.static[2] == (1 << 18)
+    # explicit row_chunk always wins
+    forced = DegreeSpMM(src, dst, 57, 41, block=8, row_chunk=7,
+                        feature_dim=128)
+    assert forced.static[2] == 7
