@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--shards", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh")
+    ap.add_argument("--kernel", default="xla",
+                    choices=["xla", "pallas", "degree"],
+                    help="aggregation kernel (see TrainConfig.kernel)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -53,7 +56,8 @@ def main():
         g = synthetic_graph(args.base_vertices * n, args.degree,
                             args.feature_dim, args.classes, seed=123)
         layers = LayerConfig([args.feature_dim, 32, args.classes])
-        cfg = TrainConfig(epochs=args.epochs, eval_every=0)
+        cfg = TrainConfig(epochs=args.epochs, eval_every=0,
+                          kernel=args.kernel)
         eng = ShardedEngine(g, layers, cfg, mesh=make_mesh(n))
         rep = eng.run()
         # Skip epoch 0 (compile); per-epoch edges processed = |E| per
