@@ -46,18 +46,37 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "degree = degree-padded blocked)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--staleness", type=int, default=None,
-                   help="accepted for reference-CLI parity; TPU engine is "
-                        "synchronous SPMD (see SURVEY §2.2)")
+                   help="bounded-staleness async mode (pipeline.cpp:95-102): "
+                        "gradients may be computed against weights up to N "
+                        "epochs old; works on both engines. Omit for "
+                        "synchronous training (the reference default).")
+    p.add_argument("--switch-threshold", type=float, default=0.9,
+                   help="async->sync switch point as a fraction of "
+                        "--target-acc (weightserver.cpp:270-294)")
+    p.add_argument("--lr-decay-every", type=int, default=0,
+                   help="decay LR every N epochs (0=off, reference default; "
+                        "weightserver.cpp:296-305)")
+    p.add_argument("--lr-decay-factor", type=float, default=0.7)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", default=None, help="report file (output_<node>)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a jax platform before the first op (the "
+                        "site pre-imports jax, so plain JAX_PLATFORMS env "
+                        "vars are too late); cpu + "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "gives an N-device virtual mesh for --shards N")
     # synthetic graph knobs
     p.add_argument("--synth-vertices", type=int, default=10000)
     p.add_argument("--synth-degree", type=int, default=10)
 
 
 def cmd_train(args) -> int:
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
     from dorylus_tpu.common.logging import log
 
@@ -68,9 +87,14 @@ def cmd_train(args) -> int:
         kernel=args.kernel,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         staleness=args.staleness,
+        switch_threshold=args.switch_threshold,
+        lr_decay_every=args.lr_decay_every,
+        lr_decay_factor=args.lr_decay_factor,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume,
     )
+    if args.switch_threshold != 0.9 and args.target_acc is None:
+        log("WARNING: --switch-threshold has no effect without --target-acc")
 
     # Layer config resolution: explicit file > preset name > dataset preset.
     if args.config and args.config in LayerConfig.PRESETS:
@@ -112,6 +136,9 @@ def cmd_train(args) -> int:
         eng = Engine(g, layers, cfg)
 
     report = eng.run()
+    # Surface which aggregation kernel/fallback the engine actually chose
+    # (the engine may auto-upgrade "xla" to dst-blocked at large V).
+    log("aggregation kernel: %s", report.notes.get("kernel", cfg.kernel))
     print(report.summary())
     if args.output:
         report.write(args.output)

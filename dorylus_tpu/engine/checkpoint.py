@@ -1,35 +1,56 @@
 """Checkpoint / resume — an improvement over the reference, which restarts
 training from scratch (SURVEY §5: no model-state checkpointing; its only
-caches are preprocessed partitions and feature files)."""
+caches are preprocessed partitions and feature files).
+
+Format: a single .npz per checkpoint (np.savez, no pickled code objects —
+a checkpoint dir pointed at by --checkpoint-dir is untrusted input and must
+not execute anything on load). Array keys are namespaced:
+
+    params/<name>          model parameters (flat name -> array dict)
+    opt/step, opt/m|v/<name>   AdamState (absent for SGD runs)
+    __meta__               JSON blob: step + caller extras
+"""
 
 from __future__ import annotations
 
 import json
-import pickle
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import numpy as np
 
 
 def _to_host(tree: Any) -> Any:
+    import jax
+
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(ckpt_dir: str | Path, step: int, params: Any,
+def save_checkpoint(ckpt_dir: str | Path, step: int, params: dict,
                     opt_state: Any = None, extra: Optional[dict] = None) -> Path:
+    from dorylus_tpu.optim.adam import AdamState
+
     d = Path(ckpt_dir)
     d.mkdir(parents=True, exist_ok=True)
-    path = d / f"ckpt_{step:08d}.pkl"
-    tmp = path.with_suffix(".tmp")
+    path = d / f"ckpt_{step:08d}.npz"
+    tmp = path.with_suffix(".tmp.npz")
+
+    arrays: dict[str, np.ndarray] = {}
+    for name, w in _to_host(params).items():
+        arrays[f"params/{name}"] = w
+    if opt_state is not None:
+        assert isinstance(opt_state, AdamState), type(opt_state)
+        arrays["opt/step"] = np.asarray(opt_state.step)
+        for name, m in _to_host(opt_state.m).items():
+            arrays[f"opt/m/{name}"] = m
+        for name, v in _to_host(opt_state.v).items():
+            arrays[f"opt/v/{name}"] = v
+    meta = {"step": int(step), "extra": extra or {}}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+
     with open(tmp, "wb") as f:
-        pickle.dump({
-            "step": step,
-            "params": _to_host(params),
-            "opt_state": _to_host(opt_state) if opt_state is not None else None,
-            "extra": extra or {},
-        }, f)
+        np.savez(f, **arrays)
     tmp.rename(path)  # atomic publish
     (d / "LATEST").write_text(path.name)
     return path
@@ -42,10 +63,25 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:
         p = d / marker.read_text().strip()
         if p.exists():
             return p
-    cands = sorted(d.glob("ckpt_*.pkl"))
+    cands = sorted(d.glob("ckpt_*.npz"))
     return cands[-1] if cands else None
 
 
 def load_checkpoint(path: str | Path) -> dict:
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    """Returns {"step", "params", "opt_state", "extra"} — the same shape
+    the engines consume. allow_pickle stays False (trust boundary)."""
+    from dorylus_tpu.optim.adam import AdamState
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        params = {k.split("/", 1)[1]: z[k] for k in z.files
+                  if k.startswith("params/")}
+        opt_state = None
+        if "opt/step" in z.files:
+            m = {k.split("/", 2)[2]: z[k] for k in z.files
+                 if k.startswith("opt/m/")}
+            v = {k.split("/", 2)[2]: z[k] for k in z.files
+                 if k.startswith("opt/v/")}
+            opt_state = AdamState(step=z["opt/step"], m=m, v=v)
+    return {"step": meta["step"], "params": params, "opt_state": opt_state,
+            "extra": meta["extra"]}

@@ -64,6 +64,7 @@ class Engine:
         spmm_op = None
         blk_rows = 0
         aux = None
+        self.kernel_selected = cfg.kernel
         if cfg.kernel == "pallas":
             from dorylus_tpu.ops.pallas_spmm import PallasSpMM
             spmm_op = PallasSpMM(graph.src, graph.dst,
@@ -85,6 +86,7 @@ class Engine:
             blk_arrays, blk_rows = build_dst_blocks(
                 graph.src, graph.dst, val, graph.num_vertices)
             aux = {"blk": jax.tree.map(jnp.asarray, blk_arrays)}
+            self.kernel_selected = "xla+dst_blocked"
             log("dst-blocked aggregation: %d blocks of %d rows",
                 blk_arrays["src"].shape[0], blk_rows)
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
@@ -161,6 +163,7 @@ class Engine:
             self._compiled = self._make_step()
         step, evaluate = self._compiled
         cfg = self.cfg
+        self.report.notes["kernel"] = self.kernel_selected
         t_run = time.perf_counter()
 
         # Staleness window: history[0] is the (up to S epochs) stale weight
@@ -169,9 +172,15 @@ class Engine:
         stale = cfg.staleness or 0
         history = deque([self.params], maxlen=stale + 1)
 
+        from dorylus_tpu.engine.convergence import ConvergeMonitor
         from dorylus_tpu.optim.adam import decay_lr
 
-        for epoch in range(epochs):
+        monitor = ConvergeMonitor(cfg.target_accuracy, cfg.switch_threshold)
+
+        # Resume continues the ORIGINAL epoch numbering: LR schedule and
+        # checkpoint steps pick up where the prior run left off instead of
+        # restarting at epoch 0 (and silently overwriting old checkpoints).
+        for epoch in range(self.start_epoch, self.start_epoch + epochs):
             t0 = time.perf_counter()
             lr = (decay_lr(cfg.learning_rate, epoch, cfg.lr_decay_every,
                            cfg.lr_decay_factor)
@@ -187,7 +196,8 @@ class Engine:
             dt_ms = 1e3 * (time.perf_counter() - t0)
             acc = None
             val_loss = None
-            if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == epochs - 1):
+            last = epoch == self.start_epoch + epochs - 1
+            if cfg.eval_every and (epoch % cfg.eval_every == 0 or last):
                 correct, loss_sum, count = evaluate(
                     self.params, self.batch, self.batch.val_mask)
                 acc = float(correct) / max(1.0, float(count))
@@ -198,13 +208,24 @@ class Engine:
                 # Per-epoch line like the WS master (weightserver.cpp:258-262).
                 log("Epoch %d: %.2f ms, train loss %.4f, val acc %.4f, val loss %.4f",
                     epoch, dt_ms, loss_f, acc, val_loss)
-            # Early stop (converge state machine, weightserver.cpp:270-294).
-            if cfg.target_accuracy is not None and acc is not None:
-                if acc >= cfg.target_accuracy:
-                    log("Target accuracy %.3f reached at epoch %d — stopping.",
-                        cfg.target_accuracy, epoch)
-                    break
+            # Converge state machine (weightserver.cpp:270-294): EARLY ->
+            # CLOSE drains the async window (async->sync switch), DONE stops.
+            was_sync = monitor.synchronous
+            monitor.update(acc)
+            if monitor.synchronous and not was_sync and stale:
+                log("Converge state CLOSE at epoch %d — switching to sync.",
+                    epoch)
+            if monitor.synchronous and len(history) > 1:
+                latest = history[-1]
+                history.clear()
+                history.append(latest)
+                history = deque(history, maxlen=1)
+            if monitor.done:
+                log("Target accuracy %.3f reached at epoch %d — stopping.",
+                    cfg.target_accuracy, epoch)
+                break
 
+        self.report.notes["converge_state"] = monitor.state.name
         self.report.total_time_s = time.perf_counter() - t_run
         # Final metrics (Engine::output analog) + chip-second cost
         # accounting (calculate-price.py analog).

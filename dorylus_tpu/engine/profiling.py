@@ -44,7 +44,12 @@ def _scalar_time(fn, *args, iters: int = 5) -> float:
 
 def profile_stages(model, params, batch: GraphBatch,
                    iters: int = 5) -> Dict[str, float]:
-    """Stage timings in ms: aggregation per layer, forward, loss+grad."""
+    """Stage timings in ms, mirroring the reference's per-layer
+    Aggregation (fwd+bwd) / ApplyVertex table (engine/utils.cpp:139-212):
+    aggregate_l*_ms + aggregate_l*_bwd_ms (the transposed-adjacency SpMM
+    autodiff emits), dense_l*_ms (the ApplyVertex matmul), forward,
+    loss+grad. Scatter (halo) only exists sharded — see
+    profile_stages_sharded."""
     out: Dict[str, float] = {}
 
     h = batch.x
@@ -58,8 +63,23 @@ def profile_stages(model, params, batch: GraphBatch,
             return aggregate(hh + c * 1e-12, batch.src, batch.dst,
                              batch.edge_val, batch.self_val, sorted_dst=True)
 
+        def agg_bwd_fn(hh, batch, c):
+            # Backward aggregate = SpMM over the transposed adjacency
+            # (gcn_ops.cpp:130-153 dir BACKWARD); src/dst swapped, so the
+            # sorted-dst fast path does not apply — as in the real VJP.
+            return aggregate(hh + c * 1e-12, batch.dst, batch.src,
+                             batch.edge_val, batch.self_val, sorted_dst=False)
+
+        def dense_fn(hh, w, c):
+            return jnp.tanh(jnp.dot(hh + c * 1e-12, w[:f],
+                                    preferred_element_type=jnp.float32))
+
         out[f"aggregate_l{l}_ms"] = 1e3 * _scalar_time(agg_fn, hh, batch,
                                                        iters=iters)
+        out[f"aggregate_l{l}_bwd_ms"] = 1e3 * _scalar_time(
+            agg_bwd_fn, hh, batch, iters=iters)
+        out[f"dense_l{l}_ms"] = 1e3 * _scalar_time(dense_fn, hh, w,
+                                                   iters=iters)
         h = jnp.zeros((batch.x.shape[0], fout), batch.x.dtype)
 
     def fwd_fn(params, batch, c):
@@ -80,6 +100,101 @@ def profile_stages(model, params, batch: GraphBatch,
 
     out["loss_and_grad_ms"] = 1e3 * _scalar_time(grad_fn, params, batch,
                                                  iters=iters)
+    return out
+
+
+def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
+    """Per-stage timing for a ShardedEngine: halo exchange (the Scatter
+    stage of engine/utils.cpp:154-192), local aggregation, forward, and
+    loss+grad — each a separately-jitted SPMD bracket over the engine's
+    mesh. The aggregate bracket uses a locally-built stand-in ghost table
+    (same shape, no collective) so the halo line isolates communication."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from dorylus_tpu.parallel.halo import halo_exchange, halo_recv
+    from dorylus_tpu.parallel.mesh import GRAPH_AXIS
+    from dorylus_tpu.parallel.train_step import _local_batch
+    from dorylus_tpu.ops.spmm import spmm_edgewise
+
+    mesh, model, cfg = engine.mesh, engine.model, engine.cfg
+    denom = engine.sharded.denom
+    multi = mesh.shape[GRAPH_AXIS] > 1
+    out: Dict[str, float] = {}
+    dims = model.layers.dims
+
+    def _sharded_scalar(fn):
+        @partial(shard_map, mesh=mesh, in_specs=(P(), P(GRAPH_AXIS), P()),
+                 out_specs=P(), check_vma=False)
+        def wrapped(params, arrs, c):
+            batch, send_idx = _local_batch(arrs, denom, overlap=False)
+            val = fn(params, batch, send_idx, c)
+            return jax.lax.psum(jnp.asarray(val).ravel()[0].astype(jnp.float32),
+                                GRAPH_AXIS)
+        return wrapped
+
+    def _time(fn):
+        wrapped = _sharded_scalar(fn)
+
+        @jax.jit
+        def loop(params, arrs):
+            def body(i, c):
+                return wrapped(params, arrs, c)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(loop(engine.params, engine.arrs))
+        t0 = time.perf_counter()
+        float(loop(engine.params, engine.arrs))
+        return 1e3 * (time.perf_counter() - t0) / iters
+
+    for l in range(model.layers.num_layers):
+        # Width actually exchanged/aggregated at layer l (GCN transform-first
+        # when shrinking; GAT aggregates z at the output width).
+        f = dims[l + 1] if cfg.model == "gat" else min(dims[l], dims[l + 1])
+
+        def make_h(batch, c, f=f):
+            x = batch.x
+            h = (x[:, :f] if x.shape[1] >= f
+                 else jnp.pad(x, ((0, 0), (0, f - x.shape[1]))))
+            return h + c * 1e-12
+
+        if multi:
+            def halo_fn(params, batch, send_idx, c, make_h=make_h):
+                return halo_recv(make_h(batch, c), send_idx)
+
+            out[f"halo_l{l}_ms"] = _time(halo_fn)
+
+        def agg_fn(params, batch, send_idx, c, make_h=make_h):
+            h = make_h(batch, c)
+            # Stand-in ghost table with the real table's shape: rows
+            # re-gathered locally (no collective) — times the SpMM alone.
+            ghosts = h[send_idx % h.shape[0]].reshape(-1, h.shape[1])
+            table = jnp.concatenate([h, ghosts], axis=0)
+            return spmm_edgewise(table, batch.src, batch.dst, batch.edge_val,
+                                 h.shape[0], sorted_dst=True)
+
+        out[f"aggregate_l{l}_ms"] = _time(agg_fn)
+
+    def fwd_fn(params, batch, send_idx, c):
+        k0 = next(iter(params))
+        p2 = dict(params)
+        p2[k0] = params[k0] + c * 1e-12
+        # Non-split batch (overlap=False) -> halo builds the FULL table.
+        halo = ((lambda h: halo_exchange(h, send_idx)) if multi else None)
+        return model.forward(p2, batch, halo=halo)
+
+    def grad_fn(params, batch, send_idx, c):
+        k0 = next(iter(params))
+        p2 = dict(params)
+        p2[k0] = params[k0] + c * 1e-12
+        halo = ((lambda h: halo_exchange(h, send_idx)) if multi else None)
+        g = jax.grad(lambda p: model.loss(p, batch, halo=halo))(p2)
+        return g[k0]
+
+    out["forward_ms"] = _time(fwd_fn)
+    out["loss_and_grad_ms"] = _time(grad_fn)
     return out
 
 

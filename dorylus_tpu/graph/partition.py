@@ -229,8 +229,11 @@ def partition_graph(
             pos = np.searchsorted(ghosts[s][p], e_src_g[sel])
             src_idx[sel] = vp + p * max_h + pos
 
+        # Padding dst slots carry the LAST local row (vp-1), not 0, so the
+        # dst-ascending invariant the sorted-segment_sum hint relies on
+        # survives padding (val=0 keeps the padding numerically inert).
         src_arr = np.zeros(ep, np.int32)
-        dst_arr = np.zeros(ep, np.int32)
+        dst_arr = np.full(ep, vp - 1, np.int32)
         val_arr = np.zeros(ep, np.float32)
         src_arr[: len(e_sel)] = src_idx
         dst_arr[: len(e_sel)] = local_index[e_dst_g]
@@ -241,13 +244,13 @@ def partition_graph(
         k_int = int(own.sum())
         k_bnd = len(e_sel) - k_int
         src_int = np.zeros(ep_int, np.int32)
-        dst_int = np.zeros(ep_int, np.int32)
+        dst_int = np.full(ep_int, vp - 1, np.int32)
         val_int = np.zeros(ep_int, np.float32)
         src_int[:k_int] = src_idx[own]
         dst_int[:k_int] = dst_local_all[own]
         val_int[:k_int] = e_val[own]
         src_bnd = np.zeros(ep_bnd, np.int32)
-        dst_bnd = np.zeros(ep_bnd, np.int32)
+        dst_bnd = np.full(ep_bnd, vp - 1, np.int32)
         val_bnd = np.zeros(ep_bnd, np.float32)
         src_bnd[:k_bnd] = src_idx[~own] - vp  # rebase into ghost table
         dst_bnd[:k_bnd] = dst_local_all[~own]

@@ -46,8 +46,13 @@ def spmm_edgewise(
         n_chunks = -(-e // edge_chunk)
         pad = n_chunks * edge_chunk - e
         if pad:
+            # Pad dst with the LAST output row, not 0: real edges are
+            # dst-ascending and the sorted-segment hint below is undefined
+            # behavior if padding breaks monotonicity (zero edge_val still
+            # keeps padding a numerical no-op).
             src = jnp.concatenate([src, jnp.zeros(pad, src.dtype)])
-            dst = jnp.concatenate([dst, jnp.zeros(pad, dst.dtype)])
+            dst = jnp.concatenate(
+                [dst, jnp.full(pad, num_out - 1, dst.dtype)])
             edge_val = jnp.concatenate([edge_val, jnp.zeros(pad, edge_val.dtype)])
         chunks = (src.reshape(n_chunks, -1), dst.reshape(n_chunks, -1),
                   edge_val.reshape(n_chunks, -1))

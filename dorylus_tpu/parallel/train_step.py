@@ -80,27 +80,31 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
         return lambda h: halo_exchange(h, send_idx)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), data_spec),
+             in_specs=(P(), P(), P(), data_spec, P()),
              out_specs=(P(), P(), P()),
              check_vma=False)
-    def step(params, opt_state, arrs):
+    def step(params, grad_params, opt_state, arrs, lr):
         batch, send_idx = _local_batch(arrs, denom, overlap)
         halo = _halo_fn(send_idx)
 
         def local_loss(p):
             return model.loss(p, batch, halo=halo, compute_dtype=compute_dtype)
 
-        loss, grads = jax.value_and_grad(local_loss)(params)
+        # Bounded staleness (pipeline.cpp:95-102 + weight stashing,
+        # weighttensor.cpp:80-123): gradients at the (up to S epochs old)
+        # grad_params, applied to the current params — same emulation as
+        # the single-device Engine; sync mode passes grad_params = params.
+        loss, grads = jax.value_and_grad(local_loss)(grad_params)
         # All-reduce: the whole weight-server tier in one op.
         grads = jax.lax.psum(grads, GRAPH_AXIS)
         loss = jax.lax.psum(loss, GRAPH_AXIS)
         if cfg.adam:
             params, opt_state = adam_update(
-                params, grads, opt_state, lr=cfg.learning_rate,
+                params, grads, opt_state, lr=lr,
                 beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
                 weight_decay=cfg.weight_decay)
         else:
-            params = sgd_update(params, grads, cfg.learning_rate)
+            params = sgd_update(params, grads, lr)
         return params, opt_state, loss
 
     @partial(shard_map, mesh=mesh,
@@ -117,9 +121,20 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
         stats = jnp.stack([correct, loss, count])
         return jax.lax.psum(stats, GRAPH_AXIS)
 
-    step_jit = jax.jit(step, donate_argnums=(0, 1))
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), data_spec),
+             out_specs=P(GRAPH_AXIS),
+             check_vma=False)
+    def predict(params, arrs):
+        """Per-shard final-layer outputs, stacked (n_shards, vp, C) —
+        reassembled into global vertex order by the caller via global_ids."""
+        batch, send_idx = _local_batch(arrs, denom, overlap)
+        halo = _halo_fn(send_idx)
+        return model.forward(params, batch, halo=halo)[None]
+
+    step_jit = jax.jit(step, donate_argnums=(2,))
     eval_jit = jax.jit(evaluate, static_argnums=(2,))
-    return step_jit, eval_jit
+    return step_jit, eval_jit, jax.jit(predict)
 
 
 class ShardedEngine:
@@ -172,6 +187,8 @@ class ShardedEngine:
             adam_init(self.params), NamedSharding(self.mesh, P())) if cfg.adam else None
         self.report = RunReport()
         self._compiled = None
+        self.kernel_selected = cfg.kernel
+        self.start_epoch = 0
         if cfg.resume and cfg.checkpoint_dir:
             from dorylus_tpu.engine.checkpoint import latest_checkpoint, load_checkpoint
             path = latest_checkpoint(cfg.checkpoint_dir)
@@ -183,7 +200,8 @@ class ShardedEngine:
                 if ck["opt_state"] is not None and cfg.adam:
                     self.opt_state = jax.device_put(
                         jax.tree.map(jnp.asarray, ck["opt_state"]), rep)
-                log("resumed from %s", path)
+                self.start_epoch = int(ck["step"])
+                log("resumed from %s (epoch %d)", path, self.start_epoch)
 
     def _maybe_checkpoint(self, epoch: int) -> None:
         cfg = self.cfg
@@ -198,19 +216,38 @@ class ShardedEngine:
         if self._compiled is None:
             self._compiled = build_sharded_train_step(
                 self.model, self.cfg, self.mesh, self.sharded.denom)
-        step, evaluate = self._compiled
+        step, evaluate, _ = self._compiled
         cfg = self.cfg
+        self.report.notes["kernel"] = self.kernel_selected
         t_run = time.perf_counter()
-        for epoch in range(epochs):
+
+        from collections import deque
+
+        from dorylus_tpu.engine.convergence import ConvergeMonitor
+        from dorylus_tpu.optim.adam import decay_lr
+
+        # Same bounded-staleness window as Engine.run (grad_params up to S
+        # epochs old); same resume-continues-epoch-numbering semantics.
+        stale = cfg.staleness or 0
+        history = deque([self.params], maxlen=stale + 1)
+        monitor = ConvergeMonitor(cfg.target_accuracy, cfg.switch_threshold)
+
+        for epoch in range(self.start_epoch, self.start_epoch + epochs):
             t0 = time.perf_counter()
+            lr = (decay_lr(cfg.learning_rate, epoch, cfg.lr_decay_every,
+                           cfg.lr_decay_factor)
+                  if cfg.lr_decay_every else cfg.learning_rate)
             self.params, self.opt_state, loss = step(
-                self.params, self.opt_state, self.arrs)
+                self.params, history[0], self.opt_state, self.arrs,
+                jnp.asarray(lr, jnp.float32))
+            history.append(self.params)
             # float() forces a host transfer — reliable sync even on
             # remote/async backends where block_until_ready returns early.
             loss_f = float(loss)
             dt_ms = 1e3 * (time.perf_counter() - t0)
             acc = None
-            if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == epochs - 1):
+            last = epoch == self.start_epoch + epochs - 1
+            if cfg.eval_every and (epoch % cfg.eval_every == 0 or last):
                 stats = evaluate(self.params, self.arrs, "val")
                 acc = float(stats[0]) / max(1.0, float(stats[2]))
             self.report.add_epoch(EpochRecord(epoch, dt_ms, loss=loss_f, accuracy=acc))
@@ -218,12 +255,63 @@ class ShardedEngine:
             if acc is not None:
                 log("Epoch %d: %.2f ms, loss %.4f, val acc %.4f",
                     epoch, dt_ms, loss_f, acc)
-            if cfg.target_accuracy is not None and acc is not None and acc >= cfg.target_accuracy:
+            was_sync = monitor.synchronous
+            monitor.update(acc)
+            if monitor.synchronous and not was_sync and stale:
+                log("Converge state CLOSE at epoch %d — switching to sync.",
+                    epoch)
+            if monitor.synchronous and len(history) > 1:
+                latest = history[-1]
+                history.clear()
+                history.append(latest)
+                history = deque(history, maxlen=1)
+            if monitor.done:
                 log("Target accuracy reached at epoch %d.", epoch)
                 break
+        self.report.notes["converge_state"] = monitor.state.name
         self.report.total_time_s = time.perf_counter() - t_run
+        from dorylus_tpu.engine.profiling import report_cost
+        self.report.notes["cost"] = report_cost(
+            self.report.total_time_s, n_chips=self.mesh.size)
         stats = evaluate(self.params, self.arrs, "val")
         self.report.final_accuracy = float(stats[0]) / max(1.0, float(stats[2]))
         stats = evaluate(self.params, self.arrs, "test")
         self.report.test_accuracy = float(stats[0]) / max(1.0, float(stats[2]))
         return self.report
+
+    def profile(self, iters: int = 5) -> dict:
+        """Per-stage timing (aggregate / dense / halo exchange / backward),
+        the sharded analog of Engine.profile — engine/utils.cpp:139-212
+        reports Aggregation/ApplyVertex/Scatter per layer; halo_l*_ms is the
+        Scatter-stage analog."""
+        from dorylus_tpu.engine.profiling import profile_stages_sharded
+        times = profile_stages_sharded(self, iters=iters)
+        self.report.stage_times = {
+            k: {"total_s": v / 1e3 * iters, "count": iters, "avg_ms": v}
+            for k, v in times.items()
+        }
+        return times
+
+    def output(self, path: Optional[str] = None) -> str:
+        if path:
+            self.report.write(path)
+        return self.report.summary()
+
+    def dump_predictions(self, path: str, softmax: bool = False) -> None:
+        """Per-vertex final-layer outputs in GLOBAL vertex order — the
+        artifact tools/compare_output.py diffs (same format as
+        Engine.dump_predictions, shard layout reassembled via global_ids)."""
+        if self._compiled is None:
+            self._compiled = build_sharded_train_step(
+                self.model, self.cfg, self.mesh, self.sharded.denom)
+        _, _, predict = self._compiled
+        stacked = np.asarray(predict(self.params, self.arrs))  # (n, vp, C)
+        out = np.zeros((self.graph.num_vertices, stacked.shape[-1]),
+                       np.float32)
+        for s, shard in enumerate(self.sharded.shards):
+            gids = shard.global_ids[: shard.num_local]
+            out[gids] = stacked[s, : shard.num_local]
+        if softmax:
+            e = np.exp(out - out.max(axis=1, keepdims=True))
+            out = e / e.sum(axis=1, keepdims=True)
+        np.savetxt(path, out, fmt="%.6f")
