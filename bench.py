@@ -127,6 +127,16 @@ def main():
     rep = eng.run(3)
     epoch_ms = rep.epochs[-1].time_ms
 
+    # --- extra: full GAT training epoch, same graph/config (the reference's
+    # run-reddit-gat benchmark; kernel=degree — the edgewise VJP's chunk-scan
+    # residuals exceed HBM in TPU compile at this scale, see config.py
+    # resolve_kernel) ---
+    cfg_gat = TrainConfig(model="gat", epochs=3, eval_every=0,
+                          kernel="degree", learning_rate=0.005)
+    eng_gat = Engine(g, LayerConfig([602, 128, 41]), cfg_gat)
+    rep_gat = eng_gat.run(3)
+    gat_epoch_ms = rep_gat.epochs[-1].time_ms
+
     print(json.dumps({
         "metric": "spmm_aggregation_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
@@ -143,6 +153,7 @@ def main():
             "edgewise_edges_per_s": round(E / dt_ew, 1),
             "cpu_scipy_edges_per_s": round(cpu_eps, 1),
             "gcn_reddit_config_epoch_ms": round(epoch_ms, 2),
+            "gat_reddit_config_epoch_ms": round(gat_epoch_ms, 2),
         },
     }))
 

@@ -40,10 +40,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parts-file", default=None,
                    help="METIS-style parts file (with --partition metis)")
     p.add_argument("--edge-chunk", type=int, default=0)
-    p.add_argument("--kernel", default="xla",
-                   choices=["xla", "pallas", "degree"],
-                   help="aggregation kernel (pallas = TPU chain SpMM, "
-                        "degree = degree-padded blocked)")
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "xla", "pallas", "degree"],
+                   help="aggregation kernel (auto = degree past 8M edges "
+                        "else xla; pallas = TPU chain SpMM, degree = "
+                        "degree-padded blocked)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--staleness", type=int, default=None,
                    help="bounded-staleness async mode (pipeline.cpp:95-102): "

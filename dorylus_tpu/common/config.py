@@ -109,8 +109,9 @@ class TrainConfig:
     compute_dtype: str = "float32"  # flip to bfloat16 for speed at scale
 
     # Aggregation kernel knobs
-    kernel: str = "xla"  # "xla" (segment_sum) | "pallas" (chain kernel)
-    #                      | "degree" (degree-padded blocked, ops/degree_spmm)
+    kernel: str = "auto"  # "auto" (degree past 8M edges, else xla)
+    #                       | "xla" (segment_sum) | "pallas" (chain kernel)
+    #                       | "degree" (degree-padded blocked, ops/degree_spmm)
     edge_chunk: int = 0  # SpMM edge-chunk size; 0 = unchunked
     optimize_order: bool = True  # transform-before-aggregate when it shrinks F
 
@@ -127,6 +128,21 @@ class TrainConfig:
     @classmethod
     def from_json(cls, text: str) -> "TrainConfig":
         return cls(**json.loads(text))
+
+
+AUTO_KERNEL_EDGES = 1 << 23  # 8M
+
+
+def resolve_kernel(kernel: str, num_edges: int) -> str:
+    """Resolve kernel="auto": degree-padded blocked past 8M edges, plain
+    XLA segment_sum below. Past ~8M edges the edgewise path's chunk-scan
+    saves (n_chunks, chunk, F) message residuals for the backward — at
+    Reddit scale that temp exceeds v5e HBM and the TPU compile itself
+    fails (round-2 probe: tools/probe_gat_compile.py); the degree kernel
+    is also the measured ~2x faster path there."""
+    if kernel != "auto":
+        return kernel
+    return "degree" if num_edges > AUTO_KERNEL_EDGES else "xla"
 
 
 @dataclass

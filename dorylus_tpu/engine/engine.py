@@ -64,7 +64,13 @@ class Engine:
         spmm_op = None
         blk_rows = 0
         aux = None
-        self.kernel_selected = cfg.kernel
+        from dorylus_tpu.common.config import resolve_kernel
+        kernel = resolve_kernel(cfg.kernel, graph.num_edges)
+        if kernel != cfg.kernel:
+            log("kernel auto -> %s (%d edges)", kernel, graph.num_edges)
+            cfg = dataclasses.replace(cfg, kernel=kernel)
+            self.cfg = cfg
+        self.kernel_selected = kernel
         if cfg.kernel == "pallas":
             from dorylus_tpu.ops.pallas_spmm import PallasSpMM
             spmm_op = PallasSpMM(graph.src, graph.dst,

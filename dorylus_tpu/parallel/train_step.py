@@ -157,6 +157,13 @@ class ShardedEngine:
             cfg = dataclasses.replace(cfg, edge_chunk=4_000_000)
             self.cfg = cfg
             log("auto edge_chunk=4M for %d edges/shard", self.sharded.ep)
+        from dorylus_tpu.common.config import resolve_kernel
+        kernel = resolve_kernel(cfg.kernel, self.sharded.ep)  # per-chip E
+        if kernel != cfg.kernel:
+            import dataclasses
+            log("kernel auto -> %s (%d edges/shard)", kernel, self.sharded.ep)
+            cfg = dataclasses.replace(cfg, kernel=kernel)
+            self.cfg = cfg
         spmm_op = None
         stacked = self.sharded.stacked()
         if cfg.kernel == "pallas":

@@ -37,6 +37,22 @@ def test_sharded_degree_gat():
         np.testing.assert_allclose(a.loss, b.loss, rtol=2e-3, atol=1e-6)
 
 
+def test_sharded_degree_gat_50k():
+    """GAT + degree kernel sharded at a realistic vertex count (round-1
+    gap: the Reddit-config GAT compile blowup was only caught at full
+    scale; this pins GAT+degree sharded at >=50k vertices in the hermetic
+    suite)."""
+    g = synthetic_graph(50_000, 8, 32, 8, seed=97)
+    layers = LayerConfig([32, 16, 8])
+    cfg = dict(model="gat", epochs=2, eval_every=0, learning_rate=0.003)
+    r_x = ShardedEngine(g, layers, TrainConfig(**cfg), mesh=make_mesh(4)).run()
+    r_d = ShardedEngine(g, layers, TrainConfig(**cfg, kernel="degree"),
+                        mesh=make_mesh(4)).run()
+    for a, b in zip(r_x.epochs, r_d.epochs):
+        np.testing.assert_allclose(a.loss, b.loss, rtol=2e-3, atol=1e-6)
+    assert r_d.epochs[-1].loss < r_d.epochs[0].loss
+
+
 def test_sharded_degree_uneven_shards():
     """Vertex count not divisible by shards -> padded vp rows + uneven
     per-shard block-row counts exercise the uniform-R padding."""
