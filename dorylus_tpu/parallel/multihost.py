@@ -28,18 +28,27 @@ from dorylus_tpu.parallel.mesh import GRAPH_AXIS
 def init_multihost(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None) -> None:
-    """Initialize the cross-host runtime. No-op if already initialized or
-    single-process."""
-    if jax.process_count() > 1:
+    """Initialize the cross-host runtime. No-op if already initialized.
+
+    Must run before ANY backend use — even jax.process_count() initializes
+    the backend and would make jax.distributed.initialize fail afterwards
+    (so we check the distributed client directly, not process_count()).
+    With explicit arguments, failures propagate: a half-joined cluster must
+    not silently fall back to single-process (tests/test_multiprocess.py
+    covers the real two-process path).
+    """
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
-    kwargs = {}
     if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()  # auto-detect (TPU pod metadata)
     except (ValueError, RuntimeError):
-        # Single-host / already-initialized environments.
+        # Single-host environments without cluster metadata.
         pass
 
 
