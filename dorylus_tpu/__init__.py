@@ -2,7 +2,7 @@
 
 A from-scratch rebuild of the capabilities of uclasystem/dorylus (OSDI'21)
 designed for TPU hardware: the reference's graph-server Gather/Scatter tiers
-become XLA/Pallas sparse aggregation kernels, the serverless ApplyVertex /
+become XLA sparse aggregation kernels, the serverless ApplyVertex /
 ApplyEdge tier collapses into on-chip dense matmuls on the MXU, and the
 weight-server parameter-server tier becomes replicated parameters with
 `psum` gradient all-reduce over a `jax.sharding.Mesh`.
@@ -11,7 +11,7 @@ Layout:
     common/    config, logging, metrics (reference: src/common, engine/utils.cpp)
     graph/     graph containers, partitioning, ghost/halo plans, dataset IO
                (reference: src/graph-server/graph, inputs/)
-    ops/       aggregation (SpMM), SDDMM, activations — Pallas + XLA paths
+    ops/       aggregation (SpMM), SDDMM, activations — XLA paths
                (reference: engine/ops/*.cpp, funcs/*/ops)
     models/    GCN / GAT with Dorylus-exact semantics (reference: funcs/gcn, funcs/gat)
     optim/     Adam matching weight-server AdamOptimizer (reference: src/weight-server)

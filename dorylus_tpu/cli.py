@@ -41,11 +41,14 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="METIS-style parts file (with --partition metis)")
     p.add_argument("--edge-chunk", type=int, default=0)
     p.add_argument("--kernel", default="auto",
-                   choices=["auto", "xla", "pallas", "degree"],
+                   choices=["auto", "xla", "degree"],
                    help="aggregation kernel (auto = degree past 8M edges "
-                        "else xla; pallas = TPU chain SpMM, degree = "
-                        "degree-padded blocked)")
+                        "else xla; degree = degree-padded blocked)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--agg-bf16", action="store_true",
+                   help="gather aggregation tables in bfloat16 (f32 "
+                        "accumulation): ~2x aggregation speed on TPU at "
+                        "~1e-3 relative error; degree kernel only")
     p.add_argument("--staleness", type=int, default=None,
                    help="bounded-staleness async mode (pipeline.cpp:95-102): "
                         "gradients may be computed against weights up to N "
@@ -87,6 +90,7 @@ def cmd_train(args) -> int:
         num_shards=args.shards, edge_chunk=args.edge_chunk,
         kernel=args.kernel,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        agg_dtype="bfloat16" if args.agg_bf16 else "float32",
         staleness=args.staleness,
         switch_threshold=args.switch_threshold,
         lr_decay_every=args.lr_decay_every,

@@ -107,11 +107,21 @@ class TrainConfig:
     # Numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # flip to bfloat16 for speed at scale
+    # Gather aggregation tables in bfloat16 (f32 accumulation). The TPU
+    # gather is byte-rate-bound at a pattern-independent ~85 GB/s
+    # (tools/probe_roofline.py), so halving table bytes halves the
+    # aggregation wall; relative error ~1e-3 on the aggregated output.
+    # Applies to the degree kernel ("auto" at scale / "degree").
+    agg_dtype: str = "float32"  # "float32" | "bfloat16"
 
     # Aggregation kernel knobs
     kernel: str = "auto"  # "auto" (degree past 8M edges, else xla)
-    #                       | "xla" (segment_sum) | "pallas" (chain kernel)
+    #                       | "xla" (segment_sum)
     #                       | "degree" (degree-padded blocked, ops/degree_spmm)
+    # (a Pallas chunk-chain kernel existed through round 2 and was deleted:
+    #  it lost to `degree` even on clustered graphs — its best case — and
+    #  tools/probe_roofline.py showed the XLA gather wall is index-pattern-
+    #  independent, so locality reordering could never save it)
     edge_chunk: int = 0  # SpMM edge-chunk size; 0 = unchunked
     optimize_order: bool = True  # transform-before-aggregate when it shrinks F
 

@@ -71,16 +71,14 @@ class Engine:
             cfg = dataclasses.replace(cfg, kernel=kernel)
             self.cfg = cfg
         self.kernel_selected = kernel
-        if cfg.kernel == "pallas":
-            from dorylus_tpu.ops.pallas_spmm import PallasSpMM
-            spmm_op = PallasSpMM(graph.src, graph.dst,
-                                 graph.num_vertices, graph.num_vertices)
-            aux = {"spmm": spmm_op.arrays}
-        elif cfg.kernel == "degree":
+        if cfg.kernel == "degree":
             from dorylus_tpu.ops.degree_spmm import DegreeSpMM
             spmm_op = DegreeSpMM(graph.src, graph.dst,
                                  graph.num_vertices, graph.num_vertices,
-                                 feature_dim=_max_agg_width(layers, cfg))
+                                 feature_dim=_max_agg_width(layers, cfg),
+                                 gather_dtype=(jnp.bfloat16
+                                               if cfg.agg_dtype == "bfloat16"
+                                               else None))
             aux = {"spmm": spmm_op.arrays}
         elif graph.num_vertices > 400_000:
             # Large-V segment_sum cliff (its output falls out of VMEM):

@@ -2,7 +2,6 @@
 
 The reference gets locality from METIS partitioning (inputs/partitioner.cpp)
 and otherwise keeps file order. On TPU, locality directly buys performance:
-the Pallas chain kernel reuses source windows across consecutive chunks, and
 halo exchanges shrink when neighbors share shards. These reorderings are
 optional preprocessing; the train/val/test split stays bound to the ORIGINAL
 vertex indices (src/common/utils.hpp:60-62 splits by file order), carried in

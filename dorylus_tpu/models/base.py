@@ -32,7 +32,7 @@ class GraphBatch(NamedTuple):
     val_mask: jnp.ndarray  # (Vp,) float32
     test_mask: jnp.ndarray  # (Vp,) float32
     denom: jnp.ndarray  # () float32 = |V_global| * TRAIN_PORTION
-    # Optional per-graph auxiliary arrays (e.g. Pallas SpMM plan arrays);
+    # Optional per-graph auxiliary arrays (e.g. SpMM plan arrays);
     # carried in the batch so they reach compiled code as jit arguments.
     aux: Optional[dict] = None
     # Optional interior/boundary edge split (sharded overlap path):

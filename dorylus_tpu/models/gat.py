@@ -48,7 +48,7 @@ class GAT:
         self.layers = layers
         self.sorted_dst = sorted_dst
         self.edge_chunk = edge_chunk
-        # Optional bound Pallas SpMM; its SDDMM backward supplies the
+        # Optional bound SpMM op; its fused-SDDMM backward supplies the
         # attention-value gradients (replacing gat hand-derived backward).
         self.spmm_op = spmm_op
         self.blk_rows = blk_rows  # dst-blocked aggregation (large V)

@@ -53,7 +53,7 @@ class GCN:
         self.sorted_dst = sorted_dst
         self.edge_chunk = edge_chunk
         self.optimize_order = optimize_order
-        # Optional bound Pallas SpMM (ops/pallas_spmm.PallasSpMM) for this
+        # Optional bound SpMM op (ops/degree_spmm.DegreeSpMM) for this
         # graph's sparsity pattern; falls back to the XLA path when None.
         self.spmm_op = spmm_op
         # dst-blocked aggregation (large-V segment_sum cliff): static block

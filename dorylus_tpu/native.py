@@ -39,15 +39,12 @@ def _load() -> Optional[ctypes.CDLL]:
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
     u64p = ctypes.POINTER(ctypes.c_uint64)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.gc_sort_by_dst.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i64p]
     lib.gc_gcn_norms.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32,
                                  i64p, f32p, f32p]
     lib.gc_sort_by_key64.argtypes = [u64p, ctypes.c_int64, i64p]
     lib.gc_ldg_partition.argtypes = [i64p, i32p, ctypes.c_int32,
                                      ctypes.c_int32, i32p]
-    lib.gc_mark_runs.argtypes = [i64p, i64p, ctypes.c_int64, u8p]
-    lib.gc_mark_runs.restype = ctypes.c_int64
     lib.gc_version.restype = ctypes.c_int32
     _lib = lib
     return _lib
@@ -139,18 +136,3 @@ def ldg_partition(src: np.ndarray, dst: np.ndarray, num_v: int,
                          _ptr(parts, ctypes.c_int32))
     return parts
 
-
-def mark_runs(chunk_id: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """Boolean new-run marks (new chunk or new dst) over sorted edges."""
-    lib = _load()
-    if lib is None:
-        e = len(dst)
-        return np.r_[True, (chunk_id[1:] != chunk_id[:-1]) |
-                     (dst[1:] != dst[:-1])] if e else np.empty(0, bool)
-    chunk_id = np.ascontiguousarray(chunk_id, np.int64)
-    dst = np.ascontiguousarray(dst, np.int64)
-    out = np.empty(len(dst), np.uint8)
-    lib.gc_mark_runs(_ptr(chunk_id, ctypes.c_int64),
-                     _ptr(dst, ctypes.c_int64), len(dst),
-                     _ptr(out, ctypes.c_uint8))
-    return out.astype(bool)

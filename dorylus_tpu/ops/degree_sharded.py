@@ -1,6 +1,6 @@
 """Sharded degree-padded SpMM: uniform per-shard plans under one SPMD program.
 
-Same construction as ops/pallas_sharded.py for the chain kernel: shard_map
+shard_map
 compiles ONE program for all devices, so the per-shard degree plans
 (ops/degree_spmm.py) must share identical static shapes. Degree plans only
 have one shape degree of freedom — the block-row count R — so uniformity is
@@ -12,7 +12,7 @@ All shards share the same edge count ep, table height (vp + n*max_h) and
 output rows vp by construction (graph/partition.py), so val/sentinel and
 the num_in/num_out statics are uniform for free.
 
-Exposes the PallasSpMM/DegreeSpMM protocol (.arrays stacked on a leading
+Exposes the DegreeSpMM protocol (.arrays stacked on a leading
 shard axis for PartitionSpec('graph', ...), .apply(arrays, h, val)), so
 models use it unchanged via batch.aux["spmm"].
 """

@@ -38,7 +38,7 @@ forward and fold the gathers, inflating grad numbers ~10x):
   fwd+dh     (GCN)      172 ms       440 ms       2.6x
   fwd+dh+dval (GAT)     264 ms       444 ms       1.7x
 
-Like the Pallas plan arrays, the plan MUST ride jit arguments (the batch
+The plan MUST ride jit arguments (the batch
 pytree), never closures.
 """
 
@@ -143,13 +143,27 @@ def _degree_pass(h_table: jnp.ndarray, plan: dict, num_out: int,
     vals = val_ext[plan["slot_to_edge"]]  # (R, B)
     table = h_table if gather_dtype is None else h_table.astype(gather_dtype)
     hb = None if other is None else other[plan["block_row"]]  # (R, F)
+    # Low-precision gather mode: keep the gathered messages in the table
+    # dtype through the multiply and accumulate in f32 only inside the
+    # reduction. Writing gather(x).astype(f32) instead lets XLA hoist the
+    # convert BEFORE the gather, which erases the entire benefit: the TPU
+    # gather is byte-rate-bound at a pattern-independent ~85 GB/s
+    # (tools/probe_roofline.py — random == sorted == local-window), so a
+    # bf16 table halves gather time. Accumulation stays f32.
+    narrow = gather_dtype is not None and jnp.dtype(gather_dtype).itemsize < 4
 
     def reduce_rows(s, v, hb_):
-        msgs = table[s].astype(jnp.float32)  # (r, B, F)
-        dh = (msgs * v[..., None]).sum(axis=1)  # (r, F) f32
+        if narrow:
+            msgs = table[s]  # (r, B, F) bf16 — no convert on the gather
+            prod = msgs * v[..., None].astype(msgs.dtype)
+            dh = prod.sum(axis=1, dtype=jnp.float32)  # (r, F) f32 accum
+        else:
+            msgs = table[s].astype(jnp.float32)  # (r, B, F)
+            dh = (msgs * v[..., None]).sum(axis=1)  # (r, F) f32
         if hb_ is None:
             return dh, None
-        dv = (msgs * hb_[:, None, :].astype(jnp.float32)).sum(-1)  # (r, B)
+        dv = (msgs * hb_[:, None, :].astype(msgs.dtype)).sum(
+            -1, dtype=jnp.float32)  # (r, B)
         return dh, dv
 
     r = plan["slot_src"].shape[0]
@@ -240,7 +254,7 @@ degree_spmm_apply.defvjp(_apply_fwd, _apply_bwd)
 class DegreeSpMM:
     """out[v] = sum_{e: dst[e]=v} val[e] * h[src[e]], differentiable in h
     and val, sparsity pattern bound at construction. Same protocol as
-    ops.pallas_spmm.PallasSpMM: pass `.arrays` through jit arguments and
+    ops.degree_sharded.ShardedDegreeSpMM: pass `.arrays` through jit arguments and
     call `.apply(arrays, h, val)`.
 
     num_in may exceed h's rows (halo tables); h is indexed as given, the

@@ -9,7 +9,7 @@ adjacency) falls out of autodiff: the transpose of
 `gather(src) -> scale -> scatter_add(dst)` is exactly
 `gather(dst) -> scale -> scatter_add(src)`.
 
-For the optimized path see dorylus_tpu.ops.pallas_spmm.
+For the optimized path see dorylus_tpu.ops.degree_spmm.
 """
 
 from __future__ import annotations

@@ -50,7 +50,7 @@ def _local_batch(arrs: dict, denom: float, overlap: bool
     split = {k: sq[k] for k in ("src_int", "dst_int", "val_int",
                                 "src_bnd", "dst_bnd", "val_bnd")} \
         if overlap else {}
-    aux = {"spmm": sq["pallas"]} if "pallas" in sq else None
+    aux = {"spmm": sq["spmm"]} if "spmm" in sq else None
     batch = GraphBatch(
         x=sq["x"], onehot=sq["onehot"], src=sq["src"], dst=sq["dst"],
         edge_val=sq["edge_val"], self_val=sq["self_val"],
@@ -67,9 +67,9 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     """Returns (step_fn, eval_fn) jitted over the mesh."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     overlap = (getattr(cfg, "overlap", True) and mesh.shape[GRAPH_AXIS] > 1
-               and cfg.kernel not in ("pallas", "degree"))
+               and cfg.kernel != "degree")
     # A prefix spec: every arrs leaf is sharded along its leading shard axis
-    # (including nested Pallas plan arrays).
+    # (including nested SpMM plan arrays).
     data_spec = P(GRAPH_AXIS)
 
     def _halo_fn(send_idx):
@@ -166,18 +166,15 @@ class ShardedEngine:
             self.cfg = cfg
         spmm_op = None
         stacked = self.sharded.stacked()
-        if cfg.kernel == "pallas":
-            # Per-shard chain plans with uniform statics (one SPMD program).
-            from dorylus_tpu.ops.pallas_sharded import ShardedPallasSpMM
-            spmm_op = ShardedPallasSpMM(self.sharded)
-            stacked["pallas"] = spmm_op.arrays
-        elif cfg.kernel == "degree":
+        if cfg.kernel == "degree":
             # Per-shard degree plans padded to uniform block-row counts.
             from dorylus_tpu.engine.engine import _max_agg_width
             from dorylus_tpu.ops.degree_sharded import ShardedDegreeSpMM
             spmm_op = ShardedDegreeSpMM(
-                self.sharded, feature_dim=_max_agg_width(layers, cfg))
-            stacked["pallas"] = spmm_op.arrays
+                self.sharded, feature_dim=_max_agg_width(layers, cfg),
+                gather_dtype=(jnp.bfloat16 if cfg.agg_dtype == "bfloat16"
+                              else None))
+            stacked["spmm"] = spmm_op.arrays
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
                           optimize_order=cfg.optimize_order, spmm_op=spmm_op)
                       if cfg.model == "gcn"

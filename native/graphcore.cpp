@@ -115,24 +115,6 @@ void gc_ldg_partition(const int64_t* row_ptr, const int32_t* col,
     }
 }
 
-// ---------------------------------------------------------------------------
-// Run detection for the chain-plan builder: given chunk ids and dst values
-// in sorted order, mark run-first positions (new chunk or new dst).
-// ---------------------------------------------------------------------------
-int64_t gc_mark_runs(const int64_t* chunk_id, const int64_t* dst, int64_t e,
-                     uint8_t* new_run) {
-    if (e == 0) return 0;
-    new_run[0] = 1;
-    std::atomic<int64_t> cnt{1};
-#pragma omp parallel for
-    for (int64_t i = 1; i < e; ++i) {
-        uint8_t nr = (chunk_id[i] != chunk_id[i - 1]) | (dst[i] != dst[i - 1]);
-        new_run[i] = nr;
-        if (nr) cnt.fetch_add(1, std::memory_order_relaxed);
-    }
-    return cnt.load();
-}
-
 int32_t gc_version() { return 1; }
 
 }  // extern "C"

@@ -179,3 +179,27 @@ def test_auto_row_chunk_is_oom_guard_only():
     forced = DegreeSpMM(src, dst, 57, 41, block=8, row_chunk=7,
                         feature_dim=128)
     assert forced.static[2] == 7
+
+
+def test_bf16_gather_mode_close_to_f32():
+    """agg_dtype=bfloat16: messages gathered/multiplied in bf16 with f32
+    accumulation (the TPU gather is byte-rate-bound, so this halves the
+    aggregation wall — tools/probe_roofline.py). Output must stay within
+    bf16 mantissa error of the f32 path, gradients included."""
+    src, dst, val, h = _random_graph(200, 150, 2000, 32, seed=11)
+    f32 = DegreeSpMM(src, dst, 200, 150, block=8)
+    b16 = DegreeSpMM(src, dst, 200, 150, block=8, gather_dtype=jnp.bfloat16)
+    hj, vj = jnp.asarray(h), jnp.asarray(val)
+    o32 = np.asarray(f32(hj, vj))
+    o16 = np.asarray(b16(hj, vj))
+    scale = np.abs(o32).max()
+    assert np.abs(o16 - o32).max() <= 2e-2 * scale
+
+    def loss(op):
+        return lambda hh, vv: (op.apply(op.arrays, hh, vv) ** 2).sum()
+
+    g32 = jax.grad(loss(f32), argnums=(0, 1))(hj, vj)
+    g16 = jax.grad(loss(b16), argnums=(0, 1))(hj, vj)
+    for a, b in zip(g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 3e-2 * np.abs(a).max()

@@ -60,9 +60,3 @@ def test_ldg_partition_balance_and_locality(lib_ok):
     cut = (parts[src] != parts[dst]).mean()
     assert cut < 0.3  # far better than random (0.5)
 
-
-def test_mark_runs(lib_ok):
-    chunk = np.array([0, 0, 0, 1, 1, 1], np.int64)
-    dst = np.array([5, 5, 7, 7, 7, 8], np.int64)
-    marks = native.mark_runs(chunk, dst)
-    np.testing.assert_array_equal(marks, [True, False, True, True, False, True])
