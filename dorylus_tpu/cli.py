@@ -36,7 +36,17 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--shards", type=int, default=1,
                    help="vertex shards over the device mesh (1 = single chip)")
     p.add_argument("--partition", default="range",
-                   choices=["range", "hash", "metis"])
+                   choices=["range", "hash", "metis", "ldg"],
+                   help="vertex partitioner for --shards > 1 (ldg = native "
+                        "streaming greedy, the METIS stand-in — use it on "
+                        "real graphs to shrink halo traffic)")
+    p.add_argument("--reorder", default="none",
+                   choices=["none", "bfs", "degree"],
+                   help="relabel vertices before training (bfs = RCM-like "
+                        "locality order). Shrinks the RANGE partitioner's "
+                        "edge-cut on locality-rich graphs; does not speed "
+                        "single-chip aggregation (the XLA gather is index-"
+                        "pattern-independent, tools/probe_roofline.py)")
     p.add_argument("--parts-file", default=None,
                    help="METIS-style parts file (with --partition metis)")
     p.add_argument("--edge-chunk", type=int, default=0)
@@ -127,6 +137,13 @@ def cmd_train(args) -> int:
     log("dataset: %d vertices, %d edges, %d classes; layers %s; model %s",
         g.num_vertices, g.num_edges, g.num_classes, layers.dims, cfg.model)
 
+    if args.reorder != "none":
+        from dorylus_tpu.graph import reorder as _ro
+        order = (_ro.bfs_order(g) if args.reorder == "bfs"
+                 else _ro.degree_order(g))
+        g = _ro.apply_order(g, order)
+        log("reordered vertices (%s)", args.reorder)
+
     parts = None
     if args.parts_file:
         from dorylus_tpu.graph.dataio import read_parts_file
@@ -208,7 +225,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("partition", help="write a parts file")
     p.add_argument("--graph", required=True, help="graph.bsnap path")
     p.add_argument("--n", type=int, required=True)
-    p.add_argument("--method", default="range", choices=["range", "hash"])
+    p.add_argument("--method", default="range",
+                   choices=["range", "hash", "ldg"])
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_partition)
 

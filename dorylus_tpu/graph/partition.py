@@ -115,7 +115,10 @@ def assign_partitions(
                files induce per node once METIS parts are applied);
     "hash"   : v mod n;
     "metis"  : caller-provided parts array (e.g. read from a
-               graph.bsnap.parts file written by inputs/partitioner.cpp).
+               graph.bsnap.parts file written by inputs/partitioner.cpp);
+    "ldg"    : native streaming greedy partitioner (native/graphcore.cpp,
+               the in-repo METIS stand-in) — minimizes edge-cut by neighbor
+               affinity, which directly shrinks halo traffic.
     """
     v = g.num_vertices
     if method == "metis":
@@ -126,6 +129,10 @@ def assign_partitions(
     if method == "range":
         block = (v + n_shards - 1) // n_shards
         return (np.arange(v) // block).astype(np.int32)
+    if method == "ldg":
+        from dorylus_tpu import native
+        return native.ldg_partition(np.asarray(g.src), np.asarray(g.dst),
+                                    v, n_shards)
     raise ValueError(f"unknown partition method {method}")
 
 

@@ -1,16 +1,18 @@
 """Vertex reordering for locality.
 
 The reference gets locality from METIS partitioning (inputs/partitioner.cpp)
-and otherwise keeps file order. On TPU, locality directly buys performance:
-halo exchanges shrink when neighbors share shards. These reorderings are
-optional preprocessing; the train/val/test split stays bound to the ORIGINAL
-vertex indices (src/common/utils.hpp:60-62 splits by file order), carried in
-Graph.split_ids.
+and otherwise keeps file order. On TPU, locality buys smaller edge-cuts
+under the range partitioner — and therefore smaller halo exchanges — the
+role METIS plays for the reference. It does NOT speed the aggregation
+gather itself: tools/probe_roofline.py measured the XLA gather at a
+pattern-independent ~85 GB/s (random == sorted == local-window indices).
+
+These reorderings are optional preprocessing; the train/val/test split
+stays bound to the ORIGINAL vertex indices (src/common/utils.hpp:60-62
+splits by file order), carried in Graph.split_ids.
 """
 
 from __future__ import annotations
-
-from collections import deque
 
 import numpy as np
 
@@ -18,7 +20,15 @@ from dorylus_tpu.graph.graph import Graph
 
 
 def bfs_order(g: Graph, seed: int = 0) -> np.ndarray:
-    """BFS (Cuthill-McKee-ish) ordering: returns order[new_id] = old_id."""
+    """Cuthill-McKee-like BFS ordering: order[new_id] = old_id.
+
+    Queue-discipline BFS from a lowest-degree root: each frontier is
+    emitted sorted by the emission position of the parent that discovered
+    it, so children land next to their parents and communities stay
+    contiguous (a plain level-by-level BFS loses this — levels of a
+    small-diameter graph span the whole vertex set). Vectorized over whole
+    frontiers: Reddit-scale graphs (233k vertices, 11M edges) reorder in
+    seconds."""
     v = g.num_vertices
     # Undirected adjacency in CSR.
     s = np.concatenate([g.src, g.dst])
@@ -32,23 +42,43 @@ def bfs_order(g: Graph, seed: int = 0) -> np.ndarray:
     visited = np.zeros(v, bool)
     order = np.empty(v, np.int64)
     pos = 0
-    # Start from lowest-degree unvisited vertices (RCM heuristic).
-    deg_order = np.argsort(counts, kind="stable")
-    dq = deque()
-    for start in deg_order:
-        if visited[start]:
+    deg_order = np.argsort(counts, kind="stable")  # low-degree roots first
+    root_at = 0
+    frontier = np.empty(0, np.int64)
+    while pos < v:
+        if frontier.size == 0:
+            while visited[deg_order[root_at]]:
+                root_at += 1
+            frontier = deg_order[root_at: root_at + 1]
+            visited[frontier] = True
+        order[pos: pos + frontier.size] = frontier
+        pos += frontier.size
+        # Expand the whole frontier at once: slice lengths differ, so build
+        # a flat neighbor list via repeat + cumulative offsets; each
+        # neighbor keeps the rank of the parent that reached it.
+        lens = ptr[frontier + 1] - ptr[frontier]
+        total = int(lens.sum())
+        if total == 0:
+            frontier = np.empty(0, np.int64)
             continue
-        visited[start] = True
-        dq.append(start)
-        while dq:
-            u = dq.popleft()
-            order[pos] = u
-            pos += 1
-            neigh = col[ptr[u]: ptr[u + 1]]
-            for w in neigh[np.argsort(counts[neigh], kind="stable")]:
-                if not visited[w]:
-                    visited[w] = True
-                    dq.append(w)
+        starts = np.repeat(ptr[frontier], lens)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens[:-1])]), lens)
+        neigh = col[starts + within]
+        rank = np.repeat(np.arange(frontier.size), lens)
+        keep = ~visited[neigh]
+        neigh, rank = neigh[keep], rank[keep]
+        if neigh.size == 0:
+            frontier = np.empty(0, np.int64)
+            continue
+        # Dedupe keeping each vertex's FIRST (lowest-rank) discoverer, then
+        # emit in parent-rank order — the queue discipline of classic RCM.
+        sel = np.lexsort((rank, neigh))
+        neigh, rank = neigh[sel], rank[sel]
+        first = np.r_[True, neigh[1:] != neigh[:-1]]
+        neigh, rank = neigh[first], rank[first]
+        visited[neigh] = True
+        frontier = neigh[np.argsort(rank, kind="stable")]
     assert pos == v
     return order
 

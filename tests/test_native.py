@@ -60,3 +60,23 @@ def test_ldg_partition_balance_and_locality(lib_ok):
     cut = (parts[src] != parts[dst]).mean()
     assert cut < 0.3  # far better than random (0.5)
 
+
+
+def test_ldg_refinement_recovers_scrambled_communities(lib_ok):
+    """Restreaming refinement (gc_refine_partition) must recover most of a
+    scrambled clustered graph's structure: single-pass LDG on a random
+    vertex order leaves ~0.49 cut; refined must land well under it while
+    staying capacity-balanced."""
+    from dorylus_tpu.graph.graph import clustered_synthetic_graph
+    from dorylus_tpu.graph.reorder import apply_order
+
+    g = clustered_synthetic_graph(4000, 12, 4, 4, seed=5, window=256,
+                                  cut=0.05)
+    g = apply_order(g, np.random.default_rng(0).permutation(4000))
+    raw = native.ldg_partition(g.src, g.dst, 4000, 4, refine_iters=0)
+    ref = native.ldg_partition(g.src, g.dst, 4000, 4, refine_iters=8)
+    cut_raw = float((raw[g.src] != raw[g.dst]).mean())
+    cut_ref = float((ref[g.src] != ref[g.dst]).mean())
+    assert cut_ref < cut_raw * 0.6, (cut_raw, cut_ref)
+    sizes = np.bincount(ref, minlength=4)
+    assert sizes.max() <= int(4000 / 4 * 1.05) + 1

@@ -49,7 +49,7 @@ def test_partition_roundtrip():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
 
 
-@pytest.mark.parametrize("method", ["range", "hash"])
+@pytest.mark.parametrize("method", ["range", "hash", "ldg"])
 def test_sharded_matches_single_device(method):
     g = synthetic_graph(400, 6, 16, 5, seed=13)
     layers = LayerConfig([16, 8, 5])
