@@ -1,15 +1,26 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
 Headline metric: SpMM-aggregation edges/s/chip on a Reddit-shaped graph
-(|V|=233k, ~23M directed edges, F=128 — the hidden dim of run/reddit.config),
-which is the reference's north-star kernel (the Gather phase that dominates
-its graph servers). vs_baseline is measured against a scipy CSR SpMM on this
-host's CPU — the in-repo analog of the reference's CPU backend
-(--MODE 2, OpenBLAS/OpenMP whole-layer aggregation), since the reference
-repo publishes no absolute numbers (BASELINE.md).
+(|V|=233k, ~11.6M directed edges, F=128 — the hidden dim of
+run/reddit.config), which is the reference's north-star kernel (the Gather
+phase that dominates its graph servers). The headline kernel is the
+degree-padded blocked SpMM with bf16 gather tables (--agg-bf16): the TPU
+gather is byte-rate-bound at a pattern-independent ~85 GB/s
+(tools/probe_roofline.py), so bf16 tables halve the wall; accumulation
+stays f32 and the mode is precision-tested (tests/test_degree_spmm.py).
 
-Extra fields report the full training-epoch time for the Reddit-config GCN
-(602-128-41) on the same graph.
+vs_baseline is measured against a scipy CSR SpMM on this host's CPU — the
+in-repo analog of the reference's CPU backend (--MODE 2, OpenBLAS whole-
+layer aggregation), since the reference publishes no absolute numbers
+(BASELINE.md). Two honesty anchors accompany it in extras:
+  - fraction_of_gather_bound: headline rate / the rate a pure gather of
+    the same slot bytes achieves (the kernel's own measured ceiling —
+    1.0 means aggregation is free beyond the irreducible gather);
+  - f32 numbers for both kernels, so the bf16 win is auditable.
+
+Epoch extras report full training epochs for the Reddit config (602-128-41)
+GCN and GAT. Engines group epochs into one compiled lax.scan call, so a
+warmup run compiles every group shape and a second run measures warm.
 """
 
 from __future__ import annotations
@@ -52,7 +63,7 @@ def time_loop(fn, h, *rest, iters: int = 10):
     def loop(h, *rest):
         def body(i, c):
             out = fn(h + c * 1e-12, *rest)  # carry forces re-execution
-            return out.ravel()[123]
+            return out.ravel()[123].astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     float(loop(h, *rest))  # compile + warmup
@@ -76,12 +87,22 @@ def cpu_spmm_baseline(g, h: np.ndarray, iters: int = 3) -> float:
     return g.num_edges / dt
 
 
+def epoch_ms_warm(g, layers, cfg, epochs: int = 3) -> float:
+    """Average warm epoch time: one run compiles every epoch-group shape,
+    the second run measures."""
+    from dorylus_tpu.engine.engine import Engine
+
+    eng = Engine(g, layers, cfg)
+    eng.run(epochs)
+    rep = eng.run(epochs)
+    return float(np.mean([e.time_ms for e in rep.epochs[-epochs:]]))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
-    from dorylus_tpu.engine.engine import Engine
     from dorylus_tpu.ops.degree_spmm import DegreeSpMM
     from dorylus_tpu.ops.spmm import spmm_edgewise
 
@@ -91,6 +112,7 @@ def main():
     V = 232_965 if on_tpu else 23_296  # Reddit |V| (graph.bsnap)
     DEG = 50 if on_tpu else 20
     F_HID = 128
+    iters = 10 if on_tpu else 3
 
     g = build_graph(V, DEG, 602, 41, seed=1)
     E = g.num_edges
@@ -98,44 +120,59 @@ def main():
     # --- headline: SpMM aggregation at hidden width ---
     h = jnp.asarray(
         np.random.default_rng(0).normal(0, 1, size=(V, F_HID)).astype(np.float32))
-    src = jnp.asarray(g.src)
-    dst = jnp.asarray(g.dst)
     val = jnp.asarray(g.edge_norm)
 
-    # Headline kernel: degree-padded blocked SpMM (ops/degree_spmm.py) —
-    # measured ~2x the edgewise segment_sum path on v5e at this scale.
-    deg_op = DegreeSpMM(np.asarray(g.src), np.asarray(g.dst), V, V, block=16)
+    results = {}
+    for name, gd in (("bf16", jnp.bfloat16), ("f32", None)):
+        op = DegreeSpMM(np.asarray(g.src), np.asarray(g.dst), V, V, block=16,
+                        gather_dtype=gd, feature_dim=F_HID)
 
-    def agg_deg(h, arrs, val):
-        return deg_op.apply(arrs, h, val)
+        def agg(h, arrs, val, op=op):
+            return op.apply(arrs, h, val)
 
-    dt = time_loop(agg_deg, h, deg_op.arrays, val,
-                   iters=10 if on_tpu else 3)
-    edges_per_s = E / dt
+        dt = time_loop(agg, h, op.arrays, val, iters=iters)
+        results[name] = dt
+        if name == "bf16":
+            # Gather-bound ceiling: a pure gather of the same slot rows at
+            # the same dtype — what the kernel would cost if the scale +
+            # reduce + final segment-sum were free.
+            slot_src = op.arrays["fwd"]["slot_src"].ravel()
 
-    def agg(h, src, dst, val):
+            def gath(h, s):
+                return h.astype(jnp.bfloat16)[s]
+
+            dt_g = time_loop(gath, h, slot_src, iters=iters)
+            gather_bound = E / dt_g
+        del op
+
+    edges_per_s = E / results["bf16"]
+
+    src = jnp.asarray(g.src)
+    dst = jnp.asarray(g.dst)
+
+    def agg_ew(h, src, dst, val):
         return spmm_edgewise(h, src, dst, val, V, sorted_dst=True)
 
-    dt_ew = time_loop(agg, h, src, dst, val, iters=10 if on_tpu else 3)
+    dt_ew = time_loop(agg_ew, h, src, dst, val, iters=iters)
 
     # --- baseline: host-CPU scipy CSR SpMM (reference CPU-mode analog) ---
     cpu_eps = cpu_spmm_baseline(g, np.asarray(h))
 
-    # --- extra: full GCN training epoch (Reddit config 602-128-41) ---
-    cfg = TrainConfig(epochs=3, eval_every=0, kernel="degree")
-    eng = Engine(g, LayerConfig([602, 128, 41]), cfg)
-    rep = eng.run(3)
-    epoch_ms = rep.epochs[-1].time_ms
-
-    # --- extra: full GAT training epoch, same graph/config (the reference's
-    # run-reddit-gat benchmark; kernel=degree — the edgewise VJP's chunk-scan
-    # residuals exceed HBM in TPU compile at this scale, see config.py
-    # resolve_kernel) ---
-    cfg_gat = TrainConfig(model="gat", epochs=3, eval_every=0,
-                          kernel="degree", learning_rate=0.005)
-    eng_gat = Engine(g, LayerConfig([602, 128, 41]), cfg_gat)
-    rep_gat = eng_gat.run(3)
-    gat_epoch_ms = rep_gat.epochs[-1].time_ms
+    # --- extras: full training epochs, Reddit config 602-128-41 ---
+    layers = LayerConfig([602, 128, 41])
+    epoch_gcn = epoch_ms_warm(g, layers, TrainConfig(
+        epochs=3, eval_every=0, kernel="degree"))
+    epoch_gcn_bf16 = epoch_ms_warm(g, layers, TrainConfig(
+        epochs=3, eval_every=0, kernel="degree", agg_dtype="bfloat16"))
+    # GAT (the reference's run-reddit-gat benchmark; kernel=degree — the
+    # edgewise VJP's chunk-scan residuals exceed HBM in TPU compile at this
+    # scale, see config.py resolve_kernel).
+    epoch_gat = epoch_ms_warm(g, layers, TrainConfig(
+        model="gat", epochs=3, eval_every=0, kernel="degree",
+        learning_rate=0.005))
+    epoch_gat_bf16 = epoch_ms_warm(g, layers, TrainConfig(
+        model="gat", epochs=3, eval_every=0, kernel="degree",
+        learning_rate=0.005, agg_dtype="bfloat16"))
 
     print(json.dumps({
         "metric": "spmm_aggregation_edges_per_s_per_chip",
@@ -147,13 +184,19 @@ def main():
             "num_vertices": V,
             "num_edges": E,
             "feature_dim": F_HID,
-            "spmm_ms": round(dt * 1e3, 3),
-            "kernel": "degree",
+            "kernel": "degree+bf16gather",
+            "spmm_ms": round(results["bf16"] * 1e3, 3),
+            "spmm_f32_ms": round(results["f32"] * 1e3, 3),
+            "spmm_f32_edges_per_s": round(E / results["f32"], 1),
+            "fraction_of_gather_bound": round(edges_per_s / gather_bound, 3),
+            "gather_bound_edges_per_s": round(gather_bound, 1),
             "edgewise_spmm_ms": round(dt_ew * 1e3, 3),
             "edgewise_edges_per_s": round(E / dt_ew, 1),
             "cpu_scipy_edges_per_s": round(cpu_eps, 1),
-            "gcn_reddit_config_epoch_ms": round(epoch_ms, 2),
-            "gat_reddit_config_epoch_ms": round(gat_epoch_ms, 2),
+            "gcn_reddit_config_epoch_ms": round(epoch_gcn, 2),
+            "gcn_reddit_config_epoch_bf16_ms": round(epoch_gcn_bf16, 2),
+            "gat_reddit_config_epoch_ms": round(epoch_gat, 2),
+            "gat_reddit_config_epoch_bf16_ms": round(epoch_gat_bf16, 2),
         },
     }))
 

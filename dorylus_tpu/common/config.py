@@ -104,6 +104,16 @@ class TrainConfig:
     num_shards: int = 1  # vertex shards over the mesh 'graph' axis
     overlap: bool = True  # interior/boundary split: overlap halo with compute
 
+    # Epochs per compiled call: between eval/checkpoint boundaries, run K
+    # epochs inside ONE jitted lax.scan instead of K dispatches. Dispatch
+    # is not free — ~85 ms/call on a 4-device CPU mesh (many sharded plan
+    # arrays), and a full tunnel roundtrip per epoch on the remote TPU —
+    # while the scanned body amortizes it to ~nothing. 0 = auto (group to
+    # the next eval/checkpoint boundary); 1 = dispatch per epoch (the
+    # reference's loop structure). Bounded staleness forces 1 (the weight
+    # stash lives across calls).
+    epochs_per_call: int = 0
+
     # Numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # flip to bfloat16 for speed at scale

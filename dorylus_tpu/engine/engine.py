@@ -44,6 +44,28 @@ def _max_agg_width(layers: LayerConfig, cfg: TrainConfig) -> int:
     return max(dims[:-1])
 
 
+def group_len(epoch: int, end: int, cfg: TrainConfig, stale: int) -> int:
+    """Epochs to run in ONE compiled call starting at `epoch`: up to the
+    next eval/checkpoint boundary (capped by cfg.epochs_per_call when >0).
+    Staleness forces 1 — its weight stash is a host-side deque."""
+    if stale or cfg.epochs_per_call == 1:
+        return 1
+    k = 1
+    while True:
+        ep = epoch + k - 1
+        if ep == end - 1:
+            break
+        if cfg.eval_every and ep % cfg.eval_every == 0:
+            break
+        if (cfg.checkpoint_dir and cfg.checkpoint_every
+                and (ep + 1) % cfg.checkpoint_every == 0):
+            break
+        if cfg.epochs_per_call and k >= cfg.epochs_per_call:
+            break
+        k += 1
+    return k
+
+
 class Engine:
     """Single-host engine. For multi-device sharded training see
     dorylus_tpu.parallel.train_step.ShardedEngine (same external surface)."""
@@ -153,11 +175,34 @@ class Engine:
                 params = sgd_update(params, grads, lr)
             return params, opt_state, loss
 
+        # Multi-epoch variant: K synchronous epochs inside ONE compiled
+        # call (lax.scan over the per-epoch lr schedule). Dispatch is a
+        # full tunnel roundtrip per call on the remote TPU; scanning
+        # amortizes it (cfg.epochs_per_call). Sync mode only — the
+        # staleness window needs the host-side history deque.
+        def multi_step(params, opt_state, batch, lrs):
+            def body(carry, lr):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                if cfg.adam:
+                    params, opt_state = adam_update(
+                        params, grads, opt_state, lr=lr,
+                        beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
+                        weight_decay=cfg.weight_decay)
+                else:
+                    params = sgd_update(params, grads, lr)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), lrs)
+            return params, opt_state, losses
+
         def evaluate(params, batch, mask):
             probs = row_softmax(model.forward(params, batch))
             return accuracy_and_loss(probs, batch.onehot, mask)
 
-        return jax.jit(step, donate_argnums=(2,)), jax.jit(evaluate)
+        return (jax.jit(step, donate_argnums=(2,)), jax.jit(evaluate),
+                jax.jit(multi_step, donate_argnums=(1,)))
 
     # ---- run loop (Engine::run + pipeline scheduler analog) ----
 
@@ -165,7 +210,7 @@ class Engine:
         epochs = epochs if epochs is not None else self.cfg.epochs
         if self._compiled is None:
             self._compiled = self._make_step()
-        step, evaluate = self._compiled
+        step, evaluate, multi_step = self._compiled
         cfg = self.cfg
         self.report.notes["kernel"] = self.kernel_selected
         t_run = time.perf_counter()
@@ -184,41 +229,58 @@ class Engine:
         # Resume continues the ORIGINAL epoch numbering: LR schedule and
         # checkpoint steps pick up where the prior run left off instead of
         # restarting at epoch 0 (and silently overwriting old checkpoints).
-        for epoch in range(self.start_epoch, self.start_epoch + epochs):
+        # Between eval/checkpoint boundaries, synchronous epochs run as ONE
+        # compiled lax.scan call (group_len) — dispatch/tunnel roundtrips
+        # amortize across the group.
+        epoch = self.start_epoch
+        end = self.start_epoch + epochs
+        while epoch < end:
+            k = group_len(epoch, end, cfg, stale)
             t0 = time.perf_counter()
-            lr = (decay_lr(cfg.learning_rate, epoch, cfg.lr_decay_every,
-                           cfg.lr_decay_factor)
-                  if cfg.lr_decay_every else cfg.learning_rate)
-            grad_params = history[0]
-            self.params, self.opt_state, loss = step(
-                self.params, grad_params, self.opt_state, self.batch,
-                jnp.asarray(lr, jnp.float32))
-            history.append(self.params)
-            # float() forces a host transfer — the only reliable sync on
-            # remote/async backends (block_until_ready can return early).
-            loss_f = float(loss)
-            dt_ms = 1e3 * (time.perf_counter() - t0)
+            lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
+                             cfg.lr_decay_factor)
+                    if cfg.lr_decay_every else cfg.learning_rate)
+                   for ep in range(epoch, epoch + k)]
+            if stale:
+                grad_params = history[0]
+                self.params, self.opt_state, loss = step(
+                    self.params, grad_params, self.opt_state, self.batch,
+                    jnp.asarray(lrs[0], jnp.float32))
+                history.append(self.params)
+                # float() forces a host transfer — the only reliable sync
+                # on remote backends (block_until_ready returns early).
+                losses = [float(loss)]
+            else:
+                self.params, self.opt_state, loss_arr = multi_step(
+                    self.params, self.opt_state, self.batch,
+                    jnp.asarray(lrs, jnp.float32))
+                losses = [float(x) for x in np.asarray(loss_arr)]
+            dt_ms = 1e3 * (time.perf_counter() - t0) / k
+            last_ep = epoch + k - 1
             acc = None
             val_loss = None
-            last = epoch == self.start_epoch + epochs - 1
-            if cfg.eval_every and (epoch % cfg.eval_every == 0 or last):
+            last = last_ep == end - 1
+            if cfg.eval_every and (last_ep % cfg.eval_every == 0 or last):
                 correct, loss_sum, count = evaluate(
                     self.params, self.batch, self.batch.val_mask)
                 acc = float(correct) / max(1.0, float(count))
                 val_loss = float(loss_sum) / max(1.0, float(count))
-            self.report.add_epoch(EpochRecord(epoch, dt_ms, loss=loss_f, accuracy=acc))
-            self._maybe_checkpoint(epoch)
+            for i, loss_f in enumerate(losses):
+                self.report.add_epoch(EpochRecord(
+                    epoch + i, dt_ms, loss=loss_f,
+                    accuracy=acc if epoch + i == last_ep else None))
+            self._maybe_checkpoint(last_ep)
             if acc is not None:
                 # Per-epoch line like the WS master (weightserver.cpp:258-262).
                 log("Epoch %d: %.2f ms, train loss %.4f, val acc %.4f, val loss %.4f",
-                    epoch, dt_ms, loss_f, acc, val_loss)
+                    last_ep, dt_ms, losses[-1], acc, val_loss)
             # Converge state machine (weightserver.cpp:270-294): EARLY ->
             # CLOSE drains the async window (async->sync switch), DONE stops.
             was_sync = monitor.synchronous
             monitor.update(acc)
             if monitor.synchronous and not was_sync and stale:
                 log("Converge state CLOSE at epoch %d — switching to sync.",
-                    epoch)
+                    last_ep)
             if monitor.synchronous and len(history) > 1:
                 latest = history[-1]
                 history.clear()
@@ -226,8 +288,9 @@ class Engine:
                 history = deque(history, maxlen=1)
             if monitor.done:
                 log("Target accuracy %.3f reached at epoch %d — stopping.",
-                    cfg.target_accuracy, epoch)
+                    cfg.target_accuracy, last_ep)
                 break
+            epoch += k
 
         self.report.notes["converge_state"] = monitor.state.name
         self.report.total_time_s = time.perf_counter() - t_run

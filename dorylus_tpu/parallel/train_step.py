@@ -107,6 +107,39 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
             params = sgd_update(params, grads, lr)
         return params, opt_state, loss
 
+    # Multi-epoch variant (sync mode): K epochs inside ONE compiled SPMD
+    # call via lax.scan — per-call dispatch moves ~50 sharded plan-array
+    # buffers and costs ~85 ms on a 4-device CPU mesh (a full tunnel
+    # roundtrip per epoch on remote TPU); the scanned body amortizes it.
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), data_spec, P()),
+             out_specs=(P(), P(), P()),
+             check_vma=False)
+    def multi_step(params, opt_state, arrs, lrs):
+        batch, send_idx = _local_batch(arrs, denom, overlap)
+        halo = _halo_fn(send_idx)
+
+        def local_loss(p):
+            return model.loss(p, batch, halo=halo, compute_dtype=compute_dtype)
+
+        def body(carry, lr):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(local_loss)(params)
+            grads = jax.lax.psum(grads, GRAPH_AXIS)
+            loss = jax.lax.psum(loss, GRAPH_AXIS)
+            if cfg.adam:
+                params, opt_state = adam_update(
+                    params, grads, opt_state, lr=lr,
+                    beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
+                    weight_decay=cfg.weight_decay)
+            else:
+                params = sgd_update(params, grads, lr)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), lrs)
+        return params, opt_state, losses
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), data_spec, None),
              out_specs=P(),
@@ -134,7 +167,8 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
 
     step_jit = jax.jit(step, donate_argnums=(2,))
     eval_jit = jax.jit(evaluate, static_argnums=(2,))
-    return step_jit, eval_jit, jax.jit(predict)
+    multi_jit = jax.jit(multi_step, donate_argnums=(1,))
+    return step_jit, eval_jit, jax.jit(predict), multi_jit
 
 
 class ShardedEngine:
@@ -220,7 +254,7 @@ class ShardedEngine:
         if self._compiled is None:
             self._compiled = build_sharded_train_step(
                 self.model, self.cfg, self.mesh, self.sharded.denom)
-        step, evaluate, _ = self._compiled
+        step, evaluate, _, multi_step = self._compiled
         cfg = self.cfg
         self.report.notes["kernel"] = self.kernel_selected
         t_run = time.perf_counter()
@@ -236,42 +270,62 @@ class ShardedEngine:
         history = deque([self.params], maxlen=stale + 1)
         monitor = ConvergeMonitor(cfg.target_accuracy, cfg.switch_threshold)
 
-        for epoch in range(self.start_epoch, self.start_epoch + epochs):
+        # Synchronous epochs between eval/checkpoint boundaries run as ONE
+        # compiled lax.scan call (engine.group_len) — per-call dispatch
+        # moves every sharded plan buffer and dominates small steps.
+        from dorylus_tpu.engine.engine import group_len
+
+        epoch = self.start_epoch
+        end = self.start_epoch + epochs
+        while epoch < end:
+            k = group_len(epoch, end, cfg, stale)
             t0 = time.perf_counter()
-            lr = (decay_lr(cfg.learning_rate, epoch, cfg.lr_decay_every,
-                           cfg.lr_decay_factor)
-                  if cfg.lr_decay_every else cfg.learning_rate)
-            self.params, self.opt_state, loss = step(
-                self.params, history[0], self.opt_state, self.arrs,
-                jnp.asarray(lr, jnp.float32))
-            history.append(self.params)
-            # float() forces a host transfer — reliable sync even on
-            # remote/async backends where block_until_ready returns early.
-            loss_f = float(loss)
-            dt_ms = 1e3 * (time.perf_counter() - t0)
+            lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
+                             cfg.lr_decay_factor)
+                    if cfg.lr_decay_every else cfg.learning_rate)
+                   for ep in range(epoch, epoch + k)]
+            if stale:
+                self.params, self.opt_state, loss = step(
+                    self.params, history[0], self.opt_state, self.arrs,
+                    jnp.asarray(lrs[0], jnp.float32))
+                history.append(self.params)
+                # float() forces a host transfer — reliable sync even on
+                # remote backends where block_until_ready returns early.
+                losses = [float(loss)]
+            else:
+                self.params, self.opt_state, loss_arr = multi_step(
+                    self.params, self.opt_state, self.arrs,
+                    jnp.asarray(lrs, jnp.float32))
+                losses = [float(x) for x in np.asarray(loss_arr)]
+            dt_ms = 1e3 * (time.perf_counter() - t0) / k
+            last_ep = epoch + k - 1
             acc = None
-            last = epoch == self.start_epoch + epochs - 1
-            if cfg.eval_every and (epoch % cfg.eval_every == 0 or last):
+            last = last_ep == end - 1
+            if cfg.eval_every and (last_ep % cfg.eval_every == 0 or last):
                 stats = evaluate(self.params, self.arrs, "val")
                 acc = float(stats[0]) / max(1.0, float(stats[2]))
-            self.report.add_epoch(EpochRecord(epoch, dt_ms, loss=loss_f, accuracy=acc))
-            self._maybe_checkpoint(epoch)
+            for i, loss_f in enumerate(losses):
+                self.report.add_epoch(EpochRecord(
+                    epoch + i, dt_ms, loss=loss_f,
+                    accuracy=acc if epoch + i == last_ep else None))
+            self._maybe_checkpoint(last_ep)
             if acc is not None:
                 log("Epoch %d: %.2f ms, loss %.4f, val acc %.4f",
-                    epoch, dt_ms, loss_f, acc)
+                    last_ep, dt_ms, losses[-1], acc)
             was_sync = monitor.synchronous
             monitor.update(acc)
             if monitor.synchronous and not was_sync and stale:
                 log("Converge state CLOSE at epoch %d — switching to sync.",
-                    epoch)
+                    last_ep)
             if monitor.synchronous and len(history) > 1:
                 latest = history[-1]
                 history.clear()
                 history.append(latest)
                 history = deque(history, maxlen=1)
             if monitor.done:
-                log("Target accuracy reached at epoch %d.", epoch)
+                log("Target accuracy reached at epoch %d.", last_ep)
                 break
+            epoch += k
         self.report.notes["converge_state"] = monitor.state.name
         self.report.total_time_s = time.perf_counter() - t_run
         from dorylus_tpu.engine.profiling import report_cost
@@ -308,7 +362,7 @@ class ShardedEngine:
         if self._compiled is None:
             self._compiled = build_sharded_train_step(
                 self.model, self.cfg, self.mesh, self.sharded.denom)
-        _, _, predict = self._compiled
+        _, _, predict, _ = self._compiled
         stacked = np.asarray(predict(self.params, self.arrs))  # (n, vp, C)
         out = np.zeros((self.graph.num_vertices, stacked.shape[-1]),
                        np.float32)

@@ -74,14 +74,8 @@ def main():
                             row_chunk=rc, gather_dtype=gd,
                             out_block_rows=obr)
 
-    # Chunked baselines (round-1 behavior)
-    timeit(lambda c, hh: run(c, hh, p_blk, None, 1 << 18, 131072),
-           (h,), tag="chunk256k+obr f32 (r1 default)")
-    timeit(lambda c, hh: run(c, hh, p_blk, jnp.bfloat16, 1 << 18, 131072),
-           (hb,), tag="chunk256k+obr bf16")
-    # Bigger chunks (fewer scan steps)
-    timeit(lambda c, hh: run(c, hh, p_blk, jnp.bfloat16, 1 << 20, 131072),
-           (hb,), tag="chunk1M+obr bf16")
+    # Chunked baselines measured in tools/probe_bf16_gather.py: 577.9 ms
+    # (41.5 M edges/s) regardless of dtype — the scan path dominates.
     # Unchunked bf16 (6.5 GB worst case if materialized)
     timeit(lambda c, hh: run(c, hh, p_blk, jnp.bfloat16, 0, 131072),
            (hb,), tag="unchunked+obr bf16")

@@ -52,10 +52,11 @@ def run_once(args, n: int) -> dict:
     layers = LayerConfig([args.feature_dim, 32, args.classes])
     cfg = TrainConfig(epochs=args.epochs, eval_every=0, kernel=args.kernel)
     eng = ShardedEngine(g, layers, cfg, mesh=make_mesh(n))
-    rep = eng.run()
-    # Skip epoch 0 (compile); per-epoch edges processed = |E| per
-    # direction per layer — report raw edges/s over fwd SpMM edges.
-    epoch_s = np.mean([e.time_ms for e in rep.epochs[1:]]) / 1e3
+    eng.run()  # warmup: compiles every epoch-group shape
+    rep = eng.run()  # measured run, warm caches
+    # Per-epoch edges processed = |E| per direction per layer — report raw
+    # edges/s over fwd SpMM edges.
+    epoch_s = np.mean([e.time_ms for e in rep.epochs[-args.epochs:]]) / 1e3
     return {
         "shards": n, "vertices": g.num_vertices, "edges": g.num_edges,
         "epoch_ms": round(epoch_s * 1e3, 2),
