@@ -95,6 +95,12 @@ class Engine:
         self.kernel_selected = kernel
         if cfg.kernel == "degree":
             from dorylus_tpu.ops.degree_spmm import DegreeSpMM
+            if cfg.agg_dtype != "bfloat16" and graph.num_vertices > 1_000_000:
+                # f32 at this scale needs the row-chunk guard (compile OOM
+                # otherwise) and lands at ~half the bf16 rate — measured
+                # matrix in benchmarks/results/largev_probe_r2.json.
+                log("hint: --agg-bf16 roughly doubles aggregation "
+                    "throughput at >1M vertices (f32 must edge-chunk)")
             spmm_op = DegreeSpMM(graph.src, graph.dst,
                                  graph.num_vertices, graph.num_vertices,
                                  feature_dim=_max_agg_width(layers, cfg),

@@ -81,7 +81,8 @@ class ShardedDegreeSpMM:
             slots = block * max(
                 max(p["slot_src"].shape[0] for p in fwd_plans),
                 max(p["slot_src"].shape[0] for p in bwd_plans))
-            if slots * max(feature_dim, 1) * 4 > 8 << 30:
+            itemsize = 4 if gather_dtype is None else np.dtype(gather_dtype).itemsize
+            if slots * max(feature_dim, 1) * itemsize > 8 << 30:
                 row_chunk = 1 << 18
 
         self.arrays = {

@@ -271,19 +271,30 @@ class DegreeSpMM:
         order = np.argsort(src, kind="stable")
         self.num_in, self.num_out = num_in, num_out
         self.block = block
+        narrow = (gather_dtype is not None
+                  and np.dtype(gather_dtype).itemsize < 4)
+        if narrow and out_block_rows is None:
+            # Narrow mode compiles + runs fastest UNCHUNKED with a plain
+            # flat segment_sum even at V=1.6M (tools/probe_largev2.py:
+            # flat 82.9 M edges/s > blocked 77.7) — the round-1 "large-V
+            # segment_sum cliff" was misattributed.
+            out_block_rows = 0
         fwd = build_degree_plan(src, dst, None, num_out, block,
                                 out_block_rows)
         bwd = build_degree_plan(dst[order], src[order], order, num_in, block,
                                 out_block_rows)
         if row_chunk == 0:
-            # XLA materializes the (slots, F) message tensor (measured:
-            # OOM at 17.5 GB for V=1.6M E=24M F=128). Chunk only when it
-            # would approach HBM — the scan-chunked pass is ~2.4x slower
+            # XLA materializes the (slots, F) message tensor at scale
+            # (measured: f32 compile OOM at 13 GB for V=1.6M E=24M F=128,
+            # tools/probe_largev2.py). Chunk only when it would approach
+            # HBM — the scan-chunked pass is ~2.4x slower
             # (tools/probe_degree_rowchunk.py), so this is strictly an
             # OOM guard, not an optimization. feature_dim = the widest
-            # feature dim this op will aggregate.
+            # feature dim this op will aggregate; bf16 messages halve the
+            # estimate (narrow mode ran unchunked at 6.9 GB worst case).
             slots = max(fwd["slot_src"].size, bwd["slot_src"].size)
-            if slots * max(feature_dim, 1) * 4 > _ROW_CHUNK_BYTES:
+            if slots * max(feature_dim, 1) * (2 if narrow else 4) \
+                    > _ROW_CHUNK_BYTES:
                 row_chunk = 1 << 18
         fwd_obr = fwd.pop("_out_block_rows", 0)
         bwd_obr = bwd.pop("_out_block_rows", 0)

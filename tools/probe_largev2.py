@@ -69,23 +69,25 @@ def main():
     p_blk = mkplan(None)   # auto: 131072-row blocked final reduce
     p_flat = mkplan(0)     # plain segment_sum over 1.6M rows
 
-    def run(c, h, plan, gd, rc, obr):
-        return _degree_pass(h * (1 + c * 1e-20), plan, V, val,
+    def run(c, h, plan, vv, gd, rc, obr):
+        return _degree_pass(h * (1 + c * 1e-20), plan, V, vv,
                             row_chunk=rc, gather_dtype=gd,
                             out_block_rows=obr)
 
     # Chunked baselines measured in tools/probe_bf16_gather.py: 577.9 ms
     # (41.5 M edges/s) regardless of dtype — the scan path dominates.
+    # Plans/vals ride the loop ARGUMENTS (closure constants hit the remote
+    # compiler's payload limit, HTTP 413 — see CLAUDE.md).
     # Unchunked bf16 (6.5 GB worst case if materialized)
-    timeit(lambda c, hh: run(c, hh, p_blk, jnp.bfloat16, 0, 131072),
-           (hb,), tag="unchunked+obr bf16")
-    timeit(lambda c, hh: run(c, hh, p_flat, jnp.bfloat16, 0, 0),
-           (hb,), tag="unchunked flat-segsum bf16")
+    timeit(lambda c, hh, pl, vv: run(c, hh, pl, vv, jnp.bfloat16, 0, 131072),
+           (hb, p_blk, val), tag="unchunked+obr bf16")
+    timeit(lambda c, hh, pl, vv: run(c, hh, pl, vv, jnp.bfloat16, 0, 0),
+           (hb, p_flat, val), tag="unchunked flat-segsum bf16")
     # Unchunked f32 (13 GB if materialized — the round-1 OOM; run last)
-    timeit(lambda c, hh: run(c, hh, p_flat, None, 0, 0),
-           (h,), tag="unchunked flat-segsum f32")
-    timeit(lambda c, hh: run(c, hh, p_blk, None, 0, 131072),
-           (h,), tag="unchunked+obr f32")
+    timeit(lambda c, hh, pl, vv: run(c, hh, pl, vv, None, 0, 0),
+           (h, p_flat, val), tag="unchunked flat-segsum f32")
+    timeit(lambda c, hh, pl, vv: run(c, hh, pl, vv, None, 0, 131072),
+           (h, p_blk, val), tag="unchunked+obr f32")
 
 
 if __name__ == "__main__":
