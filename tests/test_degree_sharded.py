@@ -65,3 +65,18 @@ def test_sharded_degree_uneven_shards():
                         mesh=make_mesh(8)).run()
     for a, b in zip(r_x.epochs, r_d.epochs):
         np.testing.assert_allclose(a.loss, b.loss, rtol=1e-3, atol=1e-6)
+
+
+def test_sharded_degree_bf16_close_to_f32():
+    """agg_dtype=bfloat16 on the SHARDED degree path: loss trajectory must
+    track the f32 path within bf16 mantissa error, and still train."""
+    g = synthetic_graph(2000, 8, 16, 5, seed=21)
+    layers = LayerConfig([16, 8, 5])
+    base = dict(epochs=4, eval_every=0, kernel="degree")
+    r_32 = ShardedEngine(g, layers, TrainConfig(**base),
+                         mesh=make_mesh(4)).run()
+    r_16 = ShardedEngine(g, layers, TrainConfig(**base, agg_dtype="bfloat16"),
+                         mesh=make_mesh(4)).run()
+    for a, b in zip(r_32.epochs, r_16.epochs):
+        np.testing.assert_allclose(a.loss, b.loss, rtol=3e-2, atol=1e-3)
+    assert r_16.epochs[-1].loss < r_16.epochs[0].loss
