@@ -129,7 +129,7 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
         @partial(shard_map, mesh=mesh, in_specs=(P(), P(GRAPH_AXIS), P()),
                  out_specs=P(), check_vma=False)
         def wrapped(params, arrs, c):
-            batch, send_idx = _local_batch(arrs, denom, overlap=False)
+            batch, (send_idx, _, _) = _local_batch(arrs, denom, overlap=False)
             val = fn(params, batch, send_idx, c)
             return jax.lax.psum(jnp.asarray(val).ravel()[0].astype(jnp.float32),
                                 GRAPH_AXIS)

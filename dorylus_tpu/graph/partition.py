@@ -81,6 +81,10 @@ class ShardedGraph:
     def stacked(self) -> dict:
         """Stack per-shard arrays along a leading shard axis, the layout
         consumed by shard_map with PartitionSpec('graph', ...)."""
+        # Local import: parallel/__init__ pulls in train_step -> this
+        # module (circular at import time).
+        from dorylus_tpu.parallel.halo import build_recv_plan
+
         f = lambda name: np.stack([getattr(s, name) for s in self.shards])
         return {
             "x": f("x"),
@@ -93,6 +97,13 @@ class ShardedGraph:
             "val_mask": f("val_mask"),
             "test_mask": f("test_mask"),
             "send_idx": f("send_idx"),
+            # Host-built backward plan: halo gradients reduce via a SORTED
+            # segment_sum instead of XLA scatter-add (parallel/halo.py
+            # build_recv_plan).
+            "halo_order": np.stack(
+                [build_recv_plan(s.send_idx)[0] for s in self.shards]),
+            "halo_rows": np.stack(
+                [build_recv_plan(s.send_idx)[1] for s in self.shards]),
             "global_ids": f("global_ids"),
             "src_int": f("src_int"),
             "dst_int": f("dst_int"),

@@ -60,7 +60,9 @@ def _local_batch(arrs: dict, denom: float, overlap: bool
         aux=aux,
         **split,
     )
-    return batch, sq["send_idx"]
+    # (send lists, backward plan) — halo.py build_recv_plan.
+    halo_args = (sq["send_idx"], sq.get("halo_order"), sq.get("halo_rows"))
+    return batch, halo_args
 
 
 def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
@@ -72,12 +74,14 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     # (including nested SpMM plan arrays).
     data_spec = P(GRAPH_AXIS)
 
-    def _halo_fn(send_idx):
+    def _halo_fn(halo_args):
         if mesh.shape[GRAPH_AXIS] <= 1:
             return None
+        send_idx, order, rows = halo_args
+        plan = None if order is None else (order, rows)
         if overlap:
-            return lambda h: halo_recv(h, send_idx)
-        return lambda h: halo_exchange(h, send_idx)
+            return lambda h: halo_recv(h, send_idx, plan=plan)
+        return lambda h: halo_exchange(h, send_idx, plan=plan)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), data_spec, P()),

@@ -92,3 +92,44 @@ def test_overlap_equals_combined_path():
                          mesh=make_mesh(4)).run()
     for a, b in zip(r_ov.epochs, r_cm.epochs):
         np.testing.assert_allclose(a.loss, b.loss, rtol=1e-5)
+
+
+def test_halo_planned_backward_matches_autodiff():
+    """The planned halo backward (sorted segment_sum, halo.build_recv_plan)
+    must equal the autodiff gather-VJP (scatter-add) it replaces."""
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from dorylus_tpu.parallel.halo import build_recv_plan, halo_recv
+    from dorylus_tpu.parallel.mesh import GRAPH_AXIS
+
+    n, vp, mh, f = 4, 32, 8, 5
+    rng = np.random.default_rng(0)
+    send = rng.integers(0, vp, size=(n, n, mh)).astype(np.int32)
+    h = rng.normal(size=(n, vp, f)).astype(np.float32)
+    plans = [build_recv_plan(send[s]) for s in range(n)]
+    order = np.stack([p[0] for p in plans])
+    rows = np.stack([p[1] for p in plans])
+    mesh = make_mesh(n)
+
+    def make(planned):
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS), P(GRAPH_AXIS),
+                           P(GRAPH_AXIS)),
+                 out_specs=P(GRAPH_AXIS), check_vma=False)
+        def loss(h, s, o, r):
+            h, s, o, r = h[0], s[0], o[0], r[0]
+            plan = (o, r) if planned else None
+            out = halo_recv(h, s, plan=plan)
+            return jax.lax.psum((out * out).sum(), GRAPH_AXIS)[None]
+
+        def scalar(h):
+            return loss(h, jnp.asarray(send), jnp.asarray(order),
+                        jnp.asarray(rows))[0]
+
+        return jax.jit(jax.grad(scalar))
+
+    g_auto = np.asarray(make(False)(jnp.asarray(h)))
+    g_plan = np.asarray(make(True)(jnp.asarray(h)))
+    np.testing.assert_allclose(g_plan, g_auto, rtol=1e-5, atol=1e-6)
