@@ -39,7 +39,7 @@ from dorylus_tpu.models import init as winit
 from dorylus_tpu.models.base import GraphBatch, Params
 from dorylus_tpu.models.gcn import HaloFn
 from dorylus_tpu.ops.activations import leaky_relu, masked_softmax_xent, row_softmax
-from dorylus_tpu.ops.spmm import spmm_dst_blocked, spmm_edgewise
+from dorylus_tpu.ops.spmm import spmm_dst_blocked, spmm_edgewise, take_sorted
 
 
 class GAT:
@@ -91,8 +91,12 @@ class GAT:
                 # Overlap path: halo returns ghost z rows only; interior
                 # attention aggregation proceeds alongside the collective.
                 ghosts = halo(z)
-                att_i = leaky_relu(za[batch.dst_int]) * batch.val_int.astype(compute_dtype)
-                att_b = leaky_relu(za[batch.dst_bnd]) * batch.val_bnd.astype(compute_dtype)
+                # take_sorted: dst arrays are ascending, so the attention
+                # gradient reduces via sorted segment_sum, not scatter-add.
+                att_i = leaky_relu(take_sorted(za, batch.dst_int, za.shape[0])) \
+                    * batch.val_int.astype(compute_dtype)
+                att_b = leaky_relu(take_sorted(za, batch.dst_bnd, za.shape[0])) \
+                    * batch.val_bnd.astype(compute_dtype)
                 agg = spmm_edgewise(z, batch.src_int, batch.dst_int, att_i,
                                     z.shape[0], sorted_dst=self.sorted_dst,
                                     edge_chunk=self.edge_chunk)
@@ -106,7 +110,10 @@ class GAT:
                     att = leaky_relu(az) * edge_mask
             else:
                 table = halo(z) if halo is not None else z
-                az = za[batch.dst]  # (Ep,)
+                # Sorted-VJP gather: the backward of za[dst] is otherwise an
+                # |E|-sized scatter-add into (Vp,) per layer — measured as
+                # the dominant GAT backward cost on TPU.
+                az = take_sorted(za, batch.dst, za.shape[0])  # (Ep,)
                 att = leaky_relu(az) * edge_mask
                 blk = (batch.aux or {}).get("blk")
                 if blk is not None and self.blk_rows:

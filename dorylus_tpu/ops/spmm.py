@@ -155,3 +155,39 @@ def aggregate(
     out = spmm_edgewise(table, src, dst, edge_val, h.shape[0],
                         sorted_dst=sorted_dst, edge_chunk=edge_chunk)
     return out + h * self_val[:, None].astype(h.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-index row/scalar gather with a segment-sum backward.
+#
+# The autodiff VJP of x[idx] is scatter-add — the slowest lowering on TPU
+# (the reason ops/degree_spmm.py exists). When idx is ASCENDING (our edges
+# are CSC/dst-sorted), the adjoint is a sorted segment_sum instead. GAT's
+# per-edge attention logits az = za[dst] hit this on |E|-sized gathers
+# every layer (gat_ops.cpp:173-243's A tensor).
+# ---------------------------------------------------------------------------
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_sorted(x: jnp.ndarray, idx: jnp.ndarray, num_segments: int):
+    """x[idx] with idx ascending; backward = sorted segment_sum (no
+    scatter). x may be (N,) or (N, F); num_segments = x.shape[0] (static)."""
+    return x[idx]
+
+
+def _take_sorted_fwd(x, idx, num_segments):
+    return x[idx], (idx, jnp.zeros((), x.dtype))
+
+
+def _take_sorted_bwd(num_segments, res, g):
+    idx, dtype_token = res
+    dx = jax.ops.segment_sum(g.astype(jnp.float32), idx,
+                             num_segments=num_segments,
+                             indices_are_sorted=True)
+    return dx.astype(dtype_token.dtype), None
+
+
+take_sorted.defvjp(_take_sorted_fwd, _take_sorted_bwd)
