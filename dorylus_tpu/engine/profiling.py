@@ -59,14 +59,28 @@ def profile_stages(model, params, batch: GraphBatch,
         f = min(fin, fout)
         hh = h[:, :f] if h.shape[1] >= f else jnp.pad(h, ((0, 0), (0, f - h.shape[1])))
 
+        spmm_op = getattr(model, "spmm_op", None)
+
         def agg_fn(hh, batch, c):
+            # Time the kernel the engine actually selected (degree when
+            # bound), not unconditionally the edgewise path.
+            if spmm_op is not None:
+                arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
+                return spmm_op.apply(arrays, hh + c * 1e-12, batch.edge_val)
             return aggregate(hh + c * 1e-12, batch.src, batch.dst,
                              batch.edge_val, batch.self_val, sorted_dst=True)
 
         def agg_bwd_fn(hh, batch, c):
             # Backward aggregate = SpMM over the transposed adjacency
-            # (gcn_ops.cpp:130-153 dir BACKWARD); src/dst swapped, so the
-            # sorted-dst fast path does not apply — as in the real VJP.
+            # (gcn_ops.cpp:130-153 dir BACKWARD).
+            if spmm_op is not None:
+                arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
+
+                def loss(x):
+                    o = spmm_op.apply(arrays, x, batch.edge_val)
+                    return (o * o).sum()
+
+                return jax.grad(loss)(hh + c * 1e-12)
             return aggregate(hh + c * 1e-12, batch.dst, batch.src,
                              batch.edge_val, batch.self_val, sorted_dst=False)
 
