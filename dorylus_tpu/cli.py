@@ -168,6 +168,35 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_infer(args) -> int:
+    """Inference-only forward pass: load a checkpoint, dump per-vertex
+    outputs (the role of the reference's dnnl-forward-gcn inference
+    variant, src/funcs/dnnl-forward-gcn/forward.cpp, at CLI level; the
+    output file is what miscs/compare_output.py-style diffing consumes)."""
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.common.logging import log
+    from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.graph.dataio import load_dataset
+
+    layers = (LayerConfig.preset(args.config)
+              if args.config in LayerConfig.PRESETS
+              else LayerConfig.from_file(args.config))
+    g = load_dataset(args.data_dir, feature_dim=layers.feature_dim)
+    cfg = TrainConfig(model=args.model, kernel=args.kernel,
+                      checkpoint_dir=args.checkpoint_dir, resume=True)
+    eng = Engine(g, layers, cfg)
+    if eng.start_epoch == 0:
+        log("WARNING: no checkpoint found in %s — dumping predictions "
+            "from the initial weights", args.checkpoint_dir)
+    eng.dump_predictions(args.out, softmax=args.softmax)
+    log("wrote %s (%d vertices)", args.out, g.num_vertices)
+    return 0
+
+
 def cmd_prepare(args) -> int:
     from dorylus_tpu.graph.dataio import prepare_from_text
 
@@ -221,6 +250,20 @@ def main(argv=None) -> int:
     p.add_argument("--classes", type=int, required=True)
     p.add_argument("--directed", action="store_true")
     p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser("infer", help="forward pass from a checkpoint")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--config", required=True,
+                   help="layer preset name or *.config path")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--model", default="gcn", choices=["gcn", "gat"])
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "xla", "degree"])
+    p.add_argument("--out", required=True, help="per-vertex output file")
+    p.add_argument("--softmax", action="store_true",
+                   help="write class probabilities instead of raw logits")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("partition", help="write a parts file")
     p.add_argument("--graph", required=True, help="graph.bsnap path")

@@ -40,3 +40,32 @@ def test_prepare_and_train_from_dir(tmp_path, capsys):
     rc = main(["train", "--data-dir", str(tmp_path / "ds"), "--epochs", "3",
                "--eval-every", "0"])
     assert rc == 0
+
+
+def test_train_checkpoint_then_infer(tmp_path, capsys):
+    """Train with checkpoints, then the `infer` command (the reference's
+    inference-only forward variant, funcs/dnnl-forward-gcn) must dump
+    per-vertex outputs from the latest checkpoint."""
+    import numpy as np
+
+    from dorylus_tpu.graph.dataio import save_dataset
+    from dorylus_tpu.graph.graph import synthetic_graph
+
+    data = tmp_path / "data"
+    data.mkdir()
+    save_dataset(data, synthetic_graph(120, 5, 8, 4, seed=6))
+    (tmp_path / "l.config").write_text("8\n6\n4\n")
+    ck = tmp_path / "ck"
+    rc = main(["train", "--data-dir", str(data), "--config",
+               str(tmp_path / "l.config"), "--epochs", "4",
+               "--eval-every", "0", "--checkpoint-dir", str(ck),
+               "--checkpoint-every", "2"])
+    assert rc == 0
+    out = tmp_path / "preds.txt"
+    rc = main(["infer", "--data-dir", str(data), "--config",
+               str(tmp_path / "l.config"), "--checkpoint-dir", str(ck),
+               "--out", str(out), "--softmax"])
+    assert rc == 0
+    preds = np.loadtxt(out)
+    assert preds.shape == (120, 4)
+    np.testing.assert_allclose(preds.sum(1), 1.0, atol=1e-4)
