@@ -44,11 +44,12 @@ def _max_agg_width(layers: LayerConfig, cfg: TrainConfig) -> int:
     return max(dims[:-1])
 
 
-def group_len(epoch: int, end: int, cfg: TrainConfig, stale: int) -> int:
+def group_len(epoch: int, end: int, cfg: TrainConfig) -> int:
     """Epochs to run in ONE compiled call starting at `epoch`: up to the
     next eval/checkpoint boundary (capped by cfg.epochs_per_call when >0).
-    Staleness forces 1 — its weight stash is a host-side deque."""
-    if stale or cfg.epochs_per_call == 1:
+    Bounded staleness composes (the weight-stash window rides the scan
+    carry), so it does not constrain grouping."""
+    if cfg.epochs_per_call == 1:
         return 1
     k = 1
     while True:
@@ -165,31 +166,23 @@ class Engine:
         def loss_fn(params, batch: GraphBatch):
             return model.loss(params, batch, compute_dtype=compute_dtype)
 
+        # Multi-epoch compiled group: K epochs inside ONE jitted lax.scan
+        # call over the per-epoch lr schedule — dispatch is a full tunnel
+        # roundtrip per call on the remote TPU (cfg.epochs_per_call).
+        #
         # Bounded staleness (the reference's async pipeline,
-        # pipeline.cpp:95-102 + weight stashing weighttensor.cpp:80-123):
-        # chunks may compute gradients against weights up to `staleness`
-        # epochs old. The SPMD emulation computes gradients at the stale
-        # params while the optimizer applies them to the current ones.
-        def step(params, grad_params, opt_state, batch, lr):
-            loss, grads = jax.value_and_grad(loss_fn)(grad_params, batch)
-            if cfg.adam:
-                params, opt_state = adam_update(
-                    params, grads, opt_state, lr=lr,
-                    beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
-                    weight_decay=cfg.weight_decay)
-            else:
-                params = sgd_update(params, grads, lr)
-            return params, opt_state, loss
-
-        # Multi-epoch variant: K synchronous epochs inside ONE compiled
-        # call (lax.scan over the per-epoch lr schedule). Dispatch is a
-        # full tunnel roundtrip per call on the remote TPU; scanning
-        # amortizes it (cfg.epochs_per_call). Sync mode only — the
-        # staleness window needs the host-side history deque.
-        def multi_step(params, opt_state, batch, lrs):
+        # pipeline.cpp:95-102 + weight stashing weighttensor.cpp:80-123)
+        # is carried IN-GRAPH: `history` is the param pytree stacked
+        # (S+1, ...) with history[0] the stale version gradients are
+        # computed against; each epoch rolls the window. A stack
+        # initialized with S+1 copies of the start params reproduces the
+        # growing-deque semantics exactly; S=0 degenerates to synchronous
+        # training (grad at current params) with zero overhead.
+        def multi_step(params, opt_state, history, batch, lrs):
             def body(carry, lr):
-                params, opt_state = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                params, opt_state, history = carry
+                grad_params = jax.tree.map(lambda x: x[0], history)
+                loss, grads = jax.value_and_grad(loss_fn)(grad_params, batch)
                 if cfg.adam:
                     params, opt_state = adam_update(
                         params, grads, opt_state, lr=lr,
@@ -197,18 +190,21 @@ class Engine:
                         weight_decay=cfg.weight_decay)
                 else:
                     params = sgd_update(params, grads, lr)
-                return (params, opt_state), loss
+                history = jax.tree.map(
+                    lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
+                    history, params)
+                return (params, opt_state, history), loss
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), lrs)
-            return params, opt_state, losses
+            (params, opt_state, history), losses = jax.lax.scan(
+                body, (params, opt_state, history), lrs)
+            return params, opt_state, history, losses
 
         def evaluate(params, batch, mask):
             probs = row_softmax(model.forward(params, batch))
             return accuracy_and_loss(probs, batch.onehot, mask)
 
-        return (jax.jit(step, donate_argnums=(2,)), jax.jit(evaluate),
-                jax.jit(multi_step, donate_argnums=(1,)))
+        return (jax.jit(multi_step, donate_argnums=(1, 2)),
+                jax.jit(evaluate))
 
     # ---- run loop (Engine::run + pipeline scheduler analog) ----
 
@@ -216,16 +212,23 @@ class Engine:
         epochs = epochs if epochs is not None else self.cfg.epochs
         if self._compiled is None:
             self._compiled = self._make_step()
-        step, evaluate, multi_step = self._compiled
+        multi_step, evaluate = self._compiled
         cfg = self.cfg
         self.report.notes["kernel"] = self.kernel_selected
         t_run = time.perf_counter()
 
         # Staleness window: history[0] is the (up to S epochs) stale weight
         # version gradients are computed against; sync mode keeps S=0.
-        from collections import deque
+        # The stack rides the compiled scan (see _make_step); the converge
+        # machine's async->sync switch drops to an S=0 stack (one extra
+        # compile at the new shape).
         stale = cfg.staleness or 0
-        history = deque([self.params], maxlen=stale + 1)
+
+        def make_stack(params, s):
+            return jax.tree.map(
+                lambda x: jnp.tile(x[None], (s + 1,) + (1,) * x.ndim), params)
+
+        history = make_stack(self.params, stale)
 
         from dorylus_tpu.engine.convergence import ConvergeMonitor
         from dorylus_tpu.optim.adam import decay_lr
@@ -241,26 +244,18 @@ class Engine:
         epoch = self.start_epoch
         end = self.start_epoch + epochs
         while epoch < end:
-            k = group_len(epoch, end, cfg, stale)
+            k = group_len(epoch, end, cfg)
             t0 = time.perf_counter()
             lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
                              cfg.lr_decay_factor)
                     if cfg.lr_decay_every else cfg.learning_rate)
                    for ep in range(epoch, epoch + k)]
-            if stale:
-                grad_params = history[0]
-                self.params, self.opt_state, loss = step(
-                    self.params, grad_params, self.opt_state, self.batch,
-                    jnp.asarray(lrs[0], jnp.float32))
-                history.append(self.params)
-                # float() forces a host transfer — the only reliable sync
-                # on remote backends (block_until_ready returns early).
-                losses = [float(loss)]
-            else:
-                self.params, self.opt_state, loss_arr = multi_step(
-                    self.params, self.opt_state, self.batch,
-                    jnp.asarray(lrs, jnp.float32))
-                losses = [float(x) for x in np.asarray(loss_arr)]
+            self.params, self.opt_state, history, loss_arr = multi_step(
+                self.params, self.opt_state, history, self.batch,
+                jnp.asarray(lrs, jnp.float32))
+            # float() forces a host transfer — the only reliable sync on
+            # remote backends (block_until_ready returns early).
+            losses = [float(x) for x in np.asarray(loss_arr)]
             dt_ms = 1e3 * (time.perf_counter() - t0) / k
             last_ep = epoch + k - 1
             acc = None
@@ -287,11 +282,11 @@ class Engine:
             if monitor.synchronous and not was_sync and stale:
                 log("Converge state CLOSE at epoch %d — switching to sync.",
                     last_ep)
-            if monitor.synchronous and len(history) > 1:
-                latest = history[-1]
-                history.clear()
-                history.append(latest)
-                history = deque(history, maxlen=1)
+            if monitor.synchronous and stale:
+                # Drain the async window: future gradients use the latest
+                # params (stack shrinks to S=0; one recompile).
+                stale = 0
+                history = make_stack(self.params, 0)
             if monitor.done:
                 log("Target accuracy %.3f reached at epoch %d — stopping.",
                     cfg.target_accuracy, last_ep)

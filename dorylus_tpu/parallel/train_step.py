@@ -111,15 +111,17 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
             params = sgd_update(params, grads, lr)
         return params, opt_state, loss
 
-    # Multi-epoch variant (sync mode): K epochs inside ONE compiled SPMD
-    # call via lax.scan — per-call dispatch moves ~50 sharded plan-array
+    # Multi-epoch compiled group: K epochs inside ONE compiled SPMD call
+    # via lax.scan — per-call dispatch moves ~50 sharded plan-array
     # buffers and costs ~85 ms on a 4-device CPU mesh (a full tunnel
     # roundtrip per epoch on remote TPU); the scanned body amortizes it.
+    # Bounded staleness rides the scan carry as a stacked (S+1, ...)
+    # param history — same construction as engine.Engine._make_step.
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), data_spec, P()),
-             out_specs=(P(), P(), P()),
+             in_specs=(P(), P(), P(), data_spec, P()),
+             out_specs=(P(), P(), P(), P()),
              check_vma=False)
-    def multi_step(params, opt_state, arrs, lrs):
+    def multi_step(params, opt_state, history, arrs, lrs):
         batch, send_idx = _local_batch(arrs, denom, overlap)
         halo = _halo_fn(send_idx)
 
@@ -127,8 +129,9 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
             return model.loss(p, batch, halo=halo, compute_dtype=compute_dtype)
 
         def body(carry, lr):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(local_loss)(params)
+            params, opt_state, history = carry
+            grad_params = jax.tree.map(lambda x: x[0], history)
+            loss, grads = jax.value_and_grad(local_loss)(grad_params)
             grads = jax.lax.psum(grads, GRAPH_AXIS)
             loss = jax.lax.psum(loss, GRAPH_AXIS)
             if cfg.adam:
@@ -138,11 +141,14 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
                     weight_decay=cfg.weight_decay)
             else:
                 params = sgd_update(params, grads, lr)
-            return (params, opt_state), loss
+            history = jax.tree.map(
+                lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
+                history, params)
+            return (params, opt_state, history), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), lrs)
-        return params, opt_state, losses
+        (params, opt_state, history), losses = jax.lax.scan(
+            body, (params, opt_state, history), lrs)
+        return params, opt_state, history, losses
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), data_spec, None),
@@ -171,7 +177,7 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
 
     step_jit = jax.jit(step, donate_argnums=(2,))
     eval_jit = jax.jit(evaluate, static_argnums=(2,))
-    multi_jit = jax.jit(multi_step, donate_argnums=(1,))
+    multi_jit = jax.jit(multi_step, donate_argnums=(1, 2))
     return step_jit, eval_jit, jax.jit(predict), multi_jit
 
 
@@ -263,15 +269,21 @@ class ShardedEngine:
         self.report.notes["kernel"] = self.kernel_selected
         t_run = time.perf_counter()
 
-        from collections import deque
-
         from dorylus_tpu.engine.convergence import ConvergeMonitor
         from dorylus_tpu.optim.adam import decay_lr
 
         # Same bounded-staleness window as Engine.run (grad_params up to S
-        # epochs old); same resume-continues-epoch-numbering semantics.
+        # epochs old, stacked on the scan carry); same resume-continues-
+        # epoch-numbering semantics.
         stale = cfg.staleness or 0
-        history = deque([self.params], maxlen=stale + 1)
+        rep = NamedSharding(self.mesh, P())
+
+        def make_stack(params, s):
+            return jax.device_put(jax.tree.map(
+                lambda x: jnp.tile(x[None], (s + 1,) + (1,) * x.ndim),
+                params), rep)
+
+        history = make_stack(self.params, stale)
         monitor = ConvergeMonitor(cfg.target_accuracy, cfg.switch_threshold)
 
         # Synchronous epochs between eval/checkpoint boundaries run as ONE
@@ -282,25 +294,18 @@ class ShardedEngine:
         epoch = self.start_epoch
         end = self.start_epoch + epochs
         while epoch < end:
-            k = group_len(epoch, end, cfg, stale)
+            k = group_len(epoch, end, cfg)
             t0 = time.perf_counter()
             lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
                              cfg.lr_decay_factor)
                     if cfg.lr_decay_every else cfg.learning_rate)
                    for ep in range(epoch, epoch + k)]
-            if stale:
-                self.params, self.opt_state, loss = step(
-                    self.params, history[0], self.opt_state, self.arrs,
-                    jnp.asarray(lrs[0], jnp.float32))
-                history.append(self.params)
-                # float() forces a host transfer — reliable sync even on
-                # remote backends where block_until_ready returns early.
-                losses = [float(loss)]
-            else:
-                self.params, self.opt_state, loss_arr = multi_step(
-                    self.params, self.opt_state, self.arrs,
-                    jnp.asarray(lrs, jnp.float32))
-                losses = [float(x) for x in np.asarray(loss_arr)]
+            self.params, self.opt_state, history, loss_arr = multi_step(
+                self.params, self.opt_state, history, self.arrs,
+                jnp.asarray(lrs, jnp.float32))
+            # float() forces a host transfer — reliable sync even on
+            # remote backends where block_until_ready returns early.
+            losses = [float(x) for x in np.asarray(loss_arr)]
             dt_ms = 1e3 * (time.perf_counter() - t0) / k
             last_ep = epoch + k - 1
             acc = None
@@ -321,11 +326,9 @@ class ShardedEngine:
             if monitor.synchronous and not was_sync and stale:
                 log("Converge state CLOSE at epoch %d — switching to sync.",
                     last_ep)
-            if monitor.synchronous and len(history) > 1:
-                latest = history[-1]
-                history.clear()
-                history.append(latest)
-                history = deque(history, maxlen=1)
+            if monitor.synchronous and stale:
+                stale = 0
+                history = make_stack(self.params, 0)
             if monitor.done:
                 log("Target accuracy reached at epoch %d.", last_ep)
                 break

@@ -32,32 +32,30 @@ def test_gat_end_to_end():
 
 
 def test_group_len_boundaries():
-    """Epoch grouping must stop exactly at eval/checkpoint boundaries and
-    degenerate to 1 under staleness (the weight stash is host-side)."""
+    """Epoch grouping must stop exactly at eval/checkpoint boundaries
+    (staleness no longer constrains it — the window rides the scan)."""
     from dorylus_tpu.common.config import TrainConfig
     from dorylus_tpu.engine.engine import group_len
 
     cfg = TrainConfig(eval_every=5)
     # epoch 0 is an eval boundary (0 % 5 == 0) -> group of 1
-    assert group_len(0, 20, cfg, stale=0) == 1
+    assert group_len(0, 20, cfg) == 1
     # epochs 1..5 group together (5 is the next eval epoch)
-    assert group_len(1, 20, cfg, stale=0) == 5
-    assert group_len(6, 20, cfg, stale=0) == 5
+    assert group_len(1, 20, cfg) == 5
+    assert group_len(6, 20, cfg) == 5
     # tail truncates at end-1
-    assert group_len(16, 20, cfg, stale=0) == 4
-    # staleness forces per-epoch dispatch
-    assert group_len(1, 20, cfg, stale=2) == 1
+    assert group_len(16, 20, cfg) == 4
     # explicit per-epoch mode
     cfg1 = TrainConfig(eval_every=0, epochs_per_call=1)
-    assert group_len(3, 20, cfg1, stale=0) == 1
+    assert group_len(3, 20, cfg1) == 1
     # no boundaries at all -> one group to the end
     cfg0 = TrainConfig(eval_every=0)
-    assert group_len(0, 20, cfg0, stale=0) == 20
+    assert group_len(0, 20, cfg0) == 20
     # checkpoint boundary
     cfgc = TrainConfig(eval_every=0, checkpoint_dir="/tmp/x",
                        checkpoint_every=4)
-    assert group_len(0, 20, cfgc, stale=0) == 4
-    assert group_len(4, 20, cfgc, stale=0) == 4
+    assert group_len(0, 20, cfgc) == 4
+    assert group_len(4, 20, cfgc) == 4
     # cap
     cfgcap = TrainConfig(eval_every=0, epochs_per_call=3)
-    assert group_len(0, 20, cfgcap, stale=0) == 3
+    assert group_len(0, 20, cfgcap) == 3
