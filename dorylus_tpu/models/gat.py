@@ -110,22 +110,40 @@ class GAT:
                     att = leaky_relu(az) * edge_mask
             else:
                 table = halo(z) if halo is not None else z
-                # Sorted-VJP gather: the backward of za[dst] is otherwise an
-                # |E|-sized scatter-add into (Vp,) per layer — measured as
-                # the dominant GAT backward cost on TPU.
-                az = take_sorted(za, batch.dst, za.shape[0])  # (Ep,)
-                att = leaky_relu(az) * edge_mask
                 blk = (batch.aux or {}).get("blk")
-                if blk is not None and self.blk_rows:
-                    agg = spmm_dst_blocked(table, blk, z.shape[0],
-                                           self.blk_rows, val_flat=att)
-                elif self.spmm_op is not None:
-                    arrays = (batch.aux or {}).get("spmm", self.spmm_op.arrays)
-                    agg = self.spmm_op.apply(arrays, table, att).astype(z.dtype)
+                use_dst = (self.spmm_op is not None
+                           and hasattr(self.spmm_op, "apply_dst")
+                           and blk is None and not return_intermediates)
+                if use_dst:
+                    # Dorylus attention is a function of the DESTINATION
+                    # only, so no per-edge value array need ever exist:
+                    # apply_dst broadcasts leaky(za) by block row and its
+                    # backward is a unit-weight pass + row-dot (see
+                    # degree_spmm_dst_apply). Pad edges are statically
+                    # dead via the plans' live masks.
+                    az = att = None
+                    arrays = (batch.aux or {}).get("spmm",
+                                                   self.spmm_op.arrays)
+                    agg = self.spmm_op.apply_dst(
+                        arrays, table, leaky_relu(za)).astype(z.dtype)
                 else:
-                    agg = spmm_edgewise(table, batch.src, batch.dst, att,
-                                        z.shape[0], sorted_dst=self.sorted_dst,
-                                        edge_chunk=self.edge_chunk)
+                    # Sorted-VJP gather: the backward of za[dst] is
+                    # otherwise an |E|-sized scatter-add into (Vp,).
+                    az = take_sorted(za, batch.dst, za.shape[0])  # (Ep,)
+                    att = leaky_relu(az) * edge_mask
+                    if blk is not None and self.blk_rows:
+                        agg = spmm_dst_blocked(table, blk, z.shape[0],
+                                               self.blk_rows, val_flat=att)
+                    elif self.spmm_op is not None:
+                        arrays = (batch.aux or {}).get(
+                            "spmm", self.spmm_op.arrays)
+                        agg = self.spmm_op.apply(arrays, table,
+                                                 att).astype(z.dtype)
+                    else:
+                        agg = spmm_edgewise(table, batch.src, batch.dst, att,
+                                            z.shape[0],
+                                            sorted_dst=self.sorted_dst,
+                                            edge_chunk=self.edge_chunk)
             h = z + agg
             if return_intermediates:
                 inter.append((z, az, att, h))

@@ -23,14 +23,15 @@ import jax
 import numpy as np
 
 from dorylus_tpu.graph.partition import ShardedGraph
-from dorylus_tpu.ops.degree_spmm import build_degree_plan, degree_spmm_apply
+from dorylus_tpu.ops.degree_spmm import (build_degree_plan, degree_spmm_apply,
+                                          degree_spmm_dst_apply)
 
 
 def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
     """Pad each plan's block rows to the cross-shard max and stack."""
     rmax = max(p["slot_src"].shape[0] for p in plans)
     out = {"slot_src": [], "slot_to_edge": [], "block_row": [],
-           "edge_to_slot": []}
+           "edge_to_slot": [], "live": []}
     for p in plans:
         pad = rmax - p["slot_src"].shape[0]
         out["slot_src"].append(np.pad(p["slot_src"], ((0, pad), (0, 0))))
@@ -42,6 +43,7 @@ def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
         # Row padding appends past the real rows, so flat slot indices in
         # the inverse map stay valid unchanged (uniform length = ep).
         out["edge_to_slot"].append(p["edge_to_slot"])
+        out["live"].append(np.pad(p["live"], ((0, pad), (0, 0))))
     return {k: np.stack(v) for k, v in out.items()}
 
 
@@ -75,6 +77,15 @@ class ShardedDegreeSpMM:
             bwd_plans.append(build_degree_plan(dst[ob], src[ob], ob,
                                                table, block,
                                                out_block_rows=0))
+            # Slot liveness for the dst-functional path (apply_dst):
+            # padding EDGES carry runtime val 0 in the per-edge path, but
+            # apply_dst derives weights from dst_val[dst] — so dead edges
+            # must be masked statically (live = real edge, not a pad).
+            live = np.asarray(s.edge_val) != 0
+            live_ext = np.r_[live, False]
+            for p in (fwd_plans[-1], bwd_plans[-1]):
+                p["live"] = live_ext[
+                    np.minimum(p["slot_to_edge"], ep)].astype(np.bool_)
 
         if row_chunk == 0:
             # OOM guard only (~2.4x slower when active) — see DegreeSpMM.
@@ -91,7 +102,13 @@ class ShardedDegreeSpMM:
         }
         self.static = (table, vp, row_chunk,
                        None if gather_dtype is None else np.dtype(gather_dtype),
-                       0, 0)  # per-shard vp stays under the large-V cliff
+                       0, 0,  # per-shard vp stays under the large-V cliff
+                       ep)
 
     def apply(self, arrays: dict, h, val):
         return degree_spmm_apply(self.static, arrays, h, val)
+
+    def apply_dst(self, arrays: dict, h, dst_val):
+        """Edge weight = dst_val[dst[e]] with static slot liveness (pads
+        dead); see degree_spmm_dst_apply."""
+        return degree_spmm_dst_apply(self.static, arrays, h, dst_val)

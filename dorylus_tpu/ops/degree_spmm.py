@@ -125,8 +125,10 @@ def build_degree_plan(src: np.ndarray, dst: np.ndarray,
 
 
 def _degree_pass(h_table: jnp.ndarray, plan: dict, num_out: int,
-                 val: jnp.ndarray, row_chunk: int = 0, gather_dtype=None,
-                 other: jnp.ndarray | None = None, out_block_rows: int = 0):
+                 val: jnp.ndarray | None, row_chunk: int = 0,
+                 gather_dtype=None, other: jnp.ndarray | None = None,
+                 out_block_rows: int = 0,
+                 vals: jnp.ndarray | None = None):
     """Core slot-grid pass: out[v] = sum_{slots of v} val * h_table[slot_src].
 
     When `other` is given (the fused-SDDMM backward), also returns the
@@ -135,12 +137,18 @@ def _degree_pass(h_table: jnp.ndarray, plan: dict, num_out: int,
     F-reduction on the already-gathered slot messages plus an E-gather,
     instead of a second sweep over the edge bytes. Always f32 accumulation.
 
+    `vals` supplies the (R, B) per-slot weights directly (dst-functional
+    edge values, degree_spmm_dst_apply) — skipping the per-edge
+    val_ext[slot_to_edge] gather, whose E-sized table makes it the most
+    expensive index op in the pass.
+
     out_block_rows > 0 (with the plan's out_idx/out_loc maps) blocks the
     final segment reduction's output rows below the large-V VMEM cliff.
     """
-    val_ext = jnp.concatenate([val.astype(jnp.float32),
-                               jnp.zeros((1,), jnp.float32)])
-    vals = val_ext[plan["slot_to_edge"]]  # (R, B)
+    if vals is None:
+        val_ext = jnp.concatenate([val.astype(jnp.float32),
+                                   jnp.zeros((1,), jnp.float32)])
+        vals = val_ext[plan["slot_to_edge"]]  # (R, B)
     table = h_table if gather_dtype is None else h_table.astype(gather_dtype)
     hb = None if other is None else other[plan["block_row"]]  # (R, F)
     # Low-precision gather mode: keep the gathered messages in the table
@@ -251,6 +259,70 @@ def _apply_bwd(static, res, gout):
 degree_spmm_apply.defvjp(_apply_fwd, _apply_bwd)
 
 
+def _slot_live(plan: dict, sentinel: int) -> jnp.ndarray:
+    """(R, B) f32 liveness: 1 for slots bound to a LIVE edge. Plans built
+    with an explicit edge-live mask (sharded pad edges) carry "live";
+    otherwise every non-sentinel slot is live."""
+    live = plan.get("live")
+    if live is not None:
+        return live.astype(jnp.float32)
+    return (plan["slot_to_edge"] != sentinel).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def degree_spmm_dst_apply(static, arrs, h, dst_val):
+    """SpMM whose edge weights are a function of the DESTINATION vertex:
+    out[v] = sum_{e: dst e = v} dst_val[v] * h[src e]   (live edges only).
+
+    This is exactly Dorylus GAT attention (logits from the destination
+    only, funcs/gat/ops/forward_ops.cpp:109-141), and it removes every
+    per-EDGE value array from the kernel: the forward weights come from an
+    R-sized gather of dst_val by block row (vs the 16x larger per-slot
+    edge-id gather from an E-sized table), and the backward needs no
+    per-edge dval extraction at all —
+        d dst_val[v] = < sum_{e: dst=v} h[src e], gout[v] >
+    because gout[dst e] is shared by all of v's edges: one unit-weight
+    pass plus a row-wise dot. static adds num_edges (the slot sentinel) at
+    index 6."""
+    _, num_out, row_chunk, gdt = static[:4]
+    fwd_obr = static[4]
+    sentinel = static[6]
+    fplan = arrs["fwd"]
+    vals = (dst_val.astype(jnp.float32)[fplan["block_row"]][:, None]
+            * _slot_live(fplan, sentinel))
+    return _degree_pass(h, fplan, num_out, None, row_chunk, gdt,
+                        out_block_rows=fwd_obr, vals=vals)
+
+
+def _dst_fwd(static, arrs, h, dst_val):
+    return degree_spmm_dst_apply(static, arrs, h, dst_val), (arrs, h, dst_val)
+
+
+def _dst_bwd(static, res, gout):
+    arrs, h, dst_val = res
+    num_in, num_out, row_chunk, gdt = static[:4]
+    fwd_obr, bwd_obr, sentinel = static[4], static[5], static[6]
+    fplan, bplan = arrs["fwd"], arrs["bwd"]
+    # dh over the transposed plan; its slot_src ARE the edge destinations,
+    # so the per-slot weights are a small-table (num_out-row) gather.
+    vals_bwd = (dst_val.astype(jnp.float32)[bplan["slot_src"]]
+                * _slot_live(bplan, sentinel))
+    dh_full = _degree_pass(gout, bplan, num_in, None, row_chunk, gdt,
+                           out_block_rows=bwd_obr, vals=vals_bwd)
+    dh = dh_full[: h.shape[0]].astype(h.dtype)
+    # Unit-weight pass: U[v] = sum_{e: dst=v} h[src e]; then row-dot.
+    U = _degree_pass(h, fplan, num_out, None, row_chunk, gdt,
+                     out_block_rows=fwd_obr, vals=_slot_live(fplan, sentinel))
+    d_dst = (U * gout.astype(jnp.float32)).sum(-1).astype(dst_val.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh, d_dst
+
+
+degree_spmm_dst_apply.defvjp(_dst_fwd, _dst_bwd)
+
+
 class DegreeSpMM:
     """out[v] = sum_{e: dst[e]=v} val[e] * h[src[e]], differentiable in h
     and val, sparsity pattern bound at construction. Same protocol as
@@ -304,10 +376,15 @@ class DegreeSpMM:
         }
         self.static = (num_in, num_out, row_chunk,
                        None if gather_dtype is None else jnp.dtype(gather_dtype),
-                       fwd_obr, bwd_obr)
+                       fwd_obr, bwd_obr, e)
 
     def apply(self, arrays, h, val):
         return degree_spmm_apply(self.static, arrays, h, val)
+
+    def apply_dst(self, arrays, h, dst_val):
+        """Edge weight = dst_val[dst[e]] (Dorylus GAT attention) — no
+        per-edge arrays anywhere; see degree_spmm_dst_apply."""
+        return degree_spmm_dst_apply(self.static, arrays, h, dst_val)
 
     def __call__(self, h, val):
         return degree_spmm_apply(self.static, self.arrays, h, val)

@@ -203,3 +203,35 @@ def test_bf16_gather_mode_close_to_f32():
     for a, b in zip(g32, g16):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() <= 3e-2 * np.abs(a).max()
+
+
+def test_apply_dst_matches_per_edge_values():
+    """apply_dst (dst-functional edge weights, the Dorylus GAT case) must
+    equal apply() with att[e] = dst_val[dst[e]] — forward and BOTH
+    gradients (d_dst_val via the unit-pass row-dot identity)."""
+    src, dst, _, h = _random_graph(57, 41, 400, 9, seed=29)
+    rng = np.random.default_rng(30)
+    dst_val = rng.normal(0, 1, size=41).astype(np.float32)
+    op = DegreeSpMM(src, dst, 57, 41, block=8)
+    hj = jnp.asarray(h)
+    dvj = jnp.asarray(dst_val)
+    att = jnp.asarray(dst_val[dst])
+
+    out_dst = np.asarray(op.apply_dst(op.arrays, hj, dvj))
+    out_ref = np.asarray(op.apply(op.arrays, hj, att))
+    np.testing.assert_allclose(out_dst, out_ref, rtol=1e-5, atol=1e-5)
+
+    def loss_dst(h, dv):
+        return (op.apply_dst(op.arrays, h, dv) ** 2).sum()
+
+    def loss_ref(h, a):
+        return (op.apply(op.arrays, h, a) ** 2).sum()
+
+    gh_d, gdv = jax.grad(loss_dst, argnums=(0, 1))(hj, dvj)
+    gh_r, gatt = jax.grad(loss_ref, argnums=(0, 1))(hj, att)
+    np.testing.assert_allclose(np.asarray(gh_d), np.asarray(gh_r),
+                               rtol=1e-4, atol=1e-5)
+    # d dst_val[v] must equal the per-edge gradients summed over v's edges.
+    want = np.zeros(41, np.float32)
+    np.add.at(want, dst, np.asarray(gatt))
+    np.testing.assert_allclose(np.asarray(gdv), want, rtol=1e-4, atol=1e-4)
