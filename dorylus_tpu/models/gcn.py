@@ -73,6 +73,20 @@ class GCN:
                               edge_chunk=self.edge_chunk)
         return out_i + out_b
 
+    def _agg_halo(self, x, batch, halo, exact: bool = False):
+        """Aggregate x (building the halo table from it).
+
+        Note: GCN norms factorize as f(src)·f(dst) with f = sqrt(self_val),
+        so the dst-functional kernel (degree_spmm_dst_apply, the GAT
+        2.8x win) applies in principle — pre-scale x by f before the halo,
+        unit-weight SpMM, dst_val = f. MEASURED SLOWER for GCN on v5e
+        (Reddit epoch 224 -> 310 ms bf16): f is a constant here, and the
+        per-edge val gather it removes is cheaper than the fusion changes
+        it causes. Keep the per-edge path; `exact` is reserved for oracle
+        intermediates."""
+        table = halo(x) if halo is not None else x
+        return self._aggregate(x, batch, table)
+
     def _aggregate(self, h, batch, table):
         blk = (batch.aux or {}).get("blk")
         if blk is not None and self.blk_rows:
@@ -124,14 +138,14 @@ class GCN:
                 if split:
                     z = self._aggregate_split(hw, batch, halo(hw))
                 else:
-                    table = halo(hw) if halo is not None else hw
-                    z = self._aggregate(hw, batch, table)
+                    z = self._agg_halo(hw, batch, halo,
+                                       exact=return_intermediates)
             else:
                 if split:
                     ah = self._aggregate_split(h, batch, halo(h))
                 else:
-                    table = halo(h) if halo is not None else h
-                    ah = self._aggregate(h, batch, table)
+                    ah = self._agg_halo(h, batch, halo,
+                                        exact=return_intermediates)
                 z = jnp.dot(ah, w, preferred_element_type=jnp.float32)
             h = jnp.tanh(z) if l < num_layers - 1 else z
             if return_intermediates:
