@@ -53,18 +53,24 @@ def test_sharded_degree_gat_50k():
     assert r_d.epochs[-1].loss < r_d.epochs[0].loss
 
 
-def test_sharded_degree_uneven_shards():
-    """Vertex count not divisible by shards -> padded vp rows + uneven
-    per-shard block-row counts exercise the uniform-R padding."""
+import pytest
+
+
+@pytest.mark.parametrize("model", ["gcn", "gat"])
+def test_sharded_degree_uneven_shards(model):
+    """Vertex count not divisible by shards -> padded vp rows, pad edges
+    and uneven per-shard block-row counts exercise the uniform-R padding
+    (and, for GAT, the apply_dst live masks that keep pad edges dead)."""
     g = synthetic_graph(311, 7, 16, 4, seed=95)
     layers = LayerConfig([16, 8, 4])
-    r_x = ShardedEngine(g, layers, TrainConfig(epochs=2, eval_every=0),
+    cfg = dict(model=model, epochs=2, eval_every=0,
+               learning_rate=0.003 if model == "gat" else 0.01)
+    r_x = ShardedEngine(g, layers, TrainConfig(**cfg),
                         mesh=make_mesh(8)).run()
-    r_d = ShardedEngine(g, layers, TrainConfig(epochs=2, eval_every=0,
-                                               kernel="degree"),
+    r_d = ShardedEngine(g, layers, TrainConfig(**cfg, kernel="degree"),
                         mesh=make_mesh(8)).run()
     for a, b in zip(r_x.epochs, r_d.epochs):
-        np.testing.assert_allclose(a.loss, b.loss, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(a.loss, b.loss, rtol=2e-3, atol=1e-6)
 
 
 def test_sharded_degree_bf16_close_to_f32():

@@ -75,3 +75,21 @@ def test_dst_blocked_matches_unblocked():
                             val_flat=jnp.asarray(val2))
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_take_sorted_matches_plain_gather_grad():
+    """take_sorted: x[idx] forward-identical to plain gather; backward is a
+    sorted segment_sum that must equal the autodiff scatter-add."""
+    import jax
+    import jax.numpy as jnp
+
+    from dorylus_tpu.ops.spmm import take_sorted
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=23).astype(np.float32))
+    idx = jnp.asarray(np.sort(rng.integers(0, 23, 200)).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(take_sorted(x, idx, 23)),
+                                  np.asarray(x[idx]))
+    g1 = jax.grad(lambda x: (take_sorted(x, idx, 23) ** 3).sum())(x)
+    g2 = jax.grad(lambda x: (x[idx] ** 3).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
