@@ -124,15 +124,24 @@ def main():
 
     results = {}
     for name, gd in (("bf16", jnp.bfloat16), ("f32", None)):
+        # static_val: GCN norms are per-graph constants baked into the
+        # plans (the production GCN path) — no runtime value gather.
         op = DegreeSpMM(np.asarray(g.src), np.asarray(g.dst), V, V, block=16,
-                        gather_dtype=gd, feature_dim=F_HID)
+                        gather_dtype=gd, feature_dim=F_HID,
+                        static_val=np.asarray(g.edge_norm))
 
-        def agg(h, arrs, val, op=op):
-            return op.apply(arrs, h, val)
+        def agg(h, arrs, op=op):
+            return op.apply_static(arrs, h)
 
-        dt = time_loop(agg, h, op.arrays, val, iters=iters)
+        dt = time_loop(agg, h, op.arrays, iters=iters)
         results[name] = dt
         if name == "bf16":
+            # Dynamic per-edge values (the GAT-style workload) as an extra.
+            def agg_dyn(h, arrs, val, op=op):
+                return op.apply(arrs, h, val)
+
+            results["bf16_dynamic"] = time_loop(agg_dyn, h, op.arrays, val,
+                                                iters=iters)
             # Gather-bound ceiling: a pure gather of the same slot rows at
             # the same dtype — what the kernel would cost if the scale +
             # reduce + final segment-sum were free.
@@ -184,8 +193,9 @@ def main():
             "num_vertices": V,
             "num_edges": E,
             "feature_dim": F_HID,
-            "kernel": "degree+bf16gather",
+            "kernel": "degree+bf16gather+staticvals",
             "spmm_ms": round(results["bf16"] * 1e3, 3),
+            "spmm_dynamic_vals_ms": round(results["bf16_dynamic"] * 1e3, 3),
             "spmm_f32_ms": round(results["f32"] * 1e3, 3),
             "spmm_f32_edges_per_s": round(E / results["f32"], 1),
             "fraction_of_gather_bound": round(edges_per_s / gather_bound, 3),

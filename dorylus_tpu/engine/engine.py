@@ -107,7 +107,9 @@ class Engine:
                                  feature_dim=_max_agg_width(layers, cfg),
                                  gather_dtype=(jnp.bfloat16
                                                if cfg.agg_dtype == "bfloat16"
-                                               else None))
+                                               else None),
+                                 static_val=(graph.edge_norm
+                                             if cfg.model == "gcn" else None))
             aux = {"spmm": spmm_op.arrays}
         elif graph.num_vertices > 400_000:
             # Large-V segment_sum cliff (its output falls out of VMEM):

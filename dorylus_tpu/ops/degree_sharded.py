@@ -24,14 +24,17 @@ import numpy as np
 
 from dorylus_tpu.graph.partition import ShardedGraph
 from dorylus_tpu.ops.degree_spmm import (build_degree_plan, degree_spmm_apply,
-                                          degree_spmm_dst_apply)
+                                          degree_spmm_dst_apply,
+                                          degree_spmm_static_apply)
 
 
 def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
     """Pad each plan's block rows to the cross-shard max and stack."""
     rmax = max(p["slot_src"].shape[0] for p in plans)
-    out = {"slot_src": [], "slot_to_edge": [], "block_row": [],
-           "edge_to_slot": [], "live": []}
+    keys = ["slot_src", "slot_to_edge", "block_row", "edge_to_slot", "live"]
+    if "vals" in plans[0]:
+        keys.append("vals")
+    out = {k: [] for k in keys}
     for p in plans:
         pad = rmax - p["slot_src"].shape[0]
         out["slot_src"].append(np.pad(p["slot_src"], ((0, pad), (0, 0))))
@@ -44,6 +47,8 @@ def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
         # the inverse map stay valid unchanged (uniform length = ep).
         out["edge_to_slot"].append(p["edge_to_slot"])
         out["live"].append(np.pad(p["live"], ((0, pad), (0, 0))))
+        if "vals" in out:
+            out["vals"].append(np.pad(p["vals"], ((0, pad), (0, 0))))
     return {k: np.stack(v) for k, v in out.items()}
 
 
@@ -54,7 +59,9 @@ class ShardedDegreeSpMM:
 
     def __init__(self, sharded: ShardedGraph, block: int = 16,
                  row_chunk: int = 0, gather_dtype=None,
-                 feature_dim: int = 128):
+                 feature_dim: int = 128, static_vals: bool = False):
+        """static_vals: bake each shard's edge values (GCN norms; pads 0)
+        into the plans so apply_static() skips the runtime value gather."""
         n = sharded.n_shards
         table = sharded.vp + n * sharded.max_h
         vp = sharded.vp
@@ -83,9 +90,12 @@ class ShardedDegreeSpMM:
             # must be masked statically (live = real edge, not a pad).
             live = np.asarray(s.edge_val) != 0
             live_ext = np.r_[live, False]
+            ve = np.r_[np.asarray(s.edge_val, np.float32), 0.0]
             for p in (fwd_plans[-1], bwd_plans[-1]):
                 p["live"] = live_ext[
                     np.minimum(p["slot_to_edge"], ep)].astype(np.bool_)
+                if static_vals:
+                    p["vals"] = ve[p["slot_to_edge"]]
 
         if row_chunk == 0:
             # OOM guard only (~2.4x slower when active) — see DegreeSpMM.
@@ -96,6 +106,7 @@ class ShardedDegreeSpMM:
             if slots * max(feature_dim, 1) * itemsize > 8 << 30:
                 row_chunk = 1 << 18
 
+        self.has_static_vals = static_vals
         self.arrays = {
             "fwd": _stack_uniform(fwd_plans, vp, ep),
             "bwd": _stack_uniform(bwd_plans, table, ep),
@@ -112,3 +123,7 @@ class ShardedDegreeSpMM:
         """Edge weight = dst_val[dst[e]] with static slot liveness (pads
         dead); see degree_spmm_dst_apply."""
         return degree_spmm_dst_apply(self.static, arrays, h, dst_val)
+
+    def apply_static(self, arrays: dict, h):
+        """Construction-time edge values; see degree_spmm_static_apply."""
+        return degree_spmm_static_apply(self.static, arrays, h)

@@ -323,6 +323,39 @@ def _dst_bwd(static, res, gout):
 degree_spmm_dst_apply.defvjp(_dst_fwd, _dst_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def degree_spmm_static_apply(static, arrs, h):
+    """SpMM with STATIC edge values baked into the plans as (R, B) slot
+    arrays ("vals", built host-side at construction). GCN norms never
+    change, so the per-slot value gather (an R*B-index gather from an
+    E-sized table — measured 62 -> 41 ms fwd at Reddit shape,
+    tools/probe_static_vals.py) is pure waste in that model."""
+    _, num_out, row_chunk, gdt = static[:4]
+    return _degree_pass(h, arrs["fwd"], num_out, None, row_chunk, gdt,
+                        out_block_rows=static[4],
+                        vals=arrs["fwd"]["vals"])
+
+
+def _static_fwd(static, arrs, h):
+    return degree_spmm_static_apply(static, arrs, h), (arrs, h)
+
+
+def _static_bwd(static, res, gout):
+    arrs, h = res
+    num_in, _, row_chunk, gdt = static[:4]
+    dh_full = _degree_pass(gout, arrs["bwd"], num_in, None, row_chunk, gdt,
+                           out_block_rows=static[5],
+                           vals=arrs["bwd"]["vals"])
+    dh = dh_full[: h.shape[0]].astype(h.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh
+
+
+degree_spmm_static_apply.defvjp(_static_fwd, _static_bwd)
+
+
 class DegreeSpMM:
     """out[v] = sum_{e: dst[e]=v} val[e] * h[src[e]], differentiable in h
     and val, sparsity pattern bound at construction. Same protocol as
@@ -335,7 +368,11 @@ class DegreeSpMM:
 
     def __init__(self, src, dst, num_in: int, num_out: int, block: int = 16,
                  row_chunk: int = 0, gather_dtype=None,
-                 out_block_rows: int | None = None, feature_dim: int = 128):
+                 out_block_rows: int | None = None, feature_dim: int = 128,
+                 static_val=None):
+        """static_val: per-edge values known at construction (GCN norms) —
+        baked into the plans as (R, B) slot arrays so apply_static() skips
+        the runtime per-slot value gather (tools/probe_static_vals.py)."""
         src = np.asarray(src)
         dst = np.asarray(dst)
         e = len(src)
@@ -355,6 +392,11 @@ class DegreeSpMM:
                                 out_block_rows)
         bwd = build_degree_plan(dst[order], src[order], order, num_in, block,
                                 out_block_rows)
+        self.has_static_vals = static_val is not None
+        if self.has_static_vals:
+            ve = np.r_[np.asarray(static_val, np.float32), 0.0]
+            fwd["vals"] = ve[fwd["slot_to_edge"]]
+            bwd["vals"] = ve[bwd["slot_to_edge"]]
         if row_chunk == 0:
             # XLA materializes the (slots, F) message tensor at scale
             # (measured: f32 compile OOM at 13 GB for V=1.6M E=24M F=128,
@@ -385,6 +427,11 @@ class DegreeSpMM:
         """Edge weight = dst_val[dst[e]] (Dorylus GAT attention) — no
         per-edge arrays anywhere; see degree_spmm_dst_apply."""
         return degree_spmm_dst_apply(self.static, arrays, h, dst_val)
+
+    def apply_static(self, arrays, h):
+        """Construction-time edge values (static_val): no runtime value
+        gather at all; see degree_spmm_static_apply."""
+        return degree_spmm_static_apply(self.static, arrays, h)
 
     def __call__(self, h, val):
         return degree_spmm_apply(self.static, self.arrays, h, val)

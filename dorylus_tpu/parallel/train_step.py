@@ -217,7 +217,8 @@ class ShardedEngine:
             spmm_op = ShardedDegreeSpMM(
                 self.sharded, feature_dim=_max_agg_width(layers, cfg),
                 gather_dtype=(jnp.bfloat16 if cfg.agg_dtype == "bfloat16"
-                              else None))
+                              else None),
+                static_vals=cfg.model == "gcn")
             stacked["spmm"] = spmm_op.arrays
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
                           optimize_order=cfg.optimize_order, spmm_op=spmm_op)
