@@ -180,12 +180,20 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
 
             out[f"halo_l{l}_ms"] = _time(halo_fn)
 
+        spmm_op = getattr(model, "spmm_op", None)
+
         def agg_fn(params, batch, send_idx, c, make_h=make_h):
             h = make_h(batch, c)
             # Stand-in ghost table with the real table's shape: rows
-            # re-gathered locally (no collective) — times the SpMM alone.
+            # re-gathered locally (no collective) — times the SpMM alone,
+            # with the kernel the engine actually selected.
             ghosts = h[send_idx % h.shape[0]].reshape(-1, h.shape[1])
             table = jnp.concatenate([h, ghosts], axis=0)
+            if spmm_op is not None:
+                arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
+                if getattr(spmm_op, "has_static_vals", False):
+                    return spmm_op.apply_static(arrays, table)
+                return spmm_op.apply(arrays, table, batch.edge_val)
             return spmm_edgewise(table, batch.src, batch.dst, batch.edge_val,
                                  h.shape[0], sorted_dst=True)
 
