@@ -103,7 +103,7 @@ def main():
     import jax.numpy as jnp
 
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
-    from dorylus_tpu.ops.degree_spmm import DegreeSpMM
+    from dorylus_tpu.ops.degree_spmm import DegreeSpMM, spmm_degree
     from dorylus_tpu.ops.spmm import spmm_edgewise
 
     platform = jax.devices()[0].platform
@@ -130,10 +130,13 @@ def main():
                         gather_dtype=gd, feature_dim=F_HID,
                         static_val=np.asarray(g.edge_norm))
 
-        def agg(h, arrs, op=op):
-            return op.apply_static(arrs, h)
+        def agg(h, fwd, gd=gd):
+            # Direct forward pass (the custom-vjp wrapper measures ~20%
+            # slower fwd-only via fusion differences; epochs below use the
+            # full differentiable path).
+            return spmm_degree(h, fwd, V, None, gather_dtype=gd)
 
-        dt = time_loop(agg, h, op.arrays, iters=iters)
+        dt = time_loop(agg, h, op.arrays["fwd"], iters=iters)
         results[name] = dt
         if name == "bf16":
             # Dynamic per-edge values (the GAT-style workload) as an extra.

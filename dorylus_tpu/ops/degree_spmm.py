@@ -215,14 +215,18 @@ def _degree_pass(h_table: jnp.ndarray, plan: dict, num_out: int,
 
 
 def spmm_degree(h_table: jnp.ndarray, plan: dict, num_out: int,
-                val: jnp.ndarray, row_chunk: int = 0,
+                val: jnp.ndarray | None, row_chunk: int = 0,
                 gather_dtype=None) -> jnp.ndarray:
     """out[v] = sum_{e: dst[e]=v} val[e] * h_table[src[e]] over a
-    build_degree_plan layout. Always f32 accumulation/output."""
+    build_degree_plan layout. val=None uses the plan's baked static slot
+    values ("vals"). Forward only (no custom VJP wrapper — the wrapper
+    costs ~20% in fwd-only microbenchmarks through fusion differences);
+    differentiable training goes through DegreeSpMM.apply*."""
     plan = dict(plan)
     obr = plan.pop("_out_block_rows", 0)
+    vals = plan.get("vals") if val is None else None
     return _degree_pass(h_table, plan, num_out, val, row_chunk, gather_dtype,
-                        out_block_rows=obr)
+                        out_block_rows=obr, vals=vals)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
