@@ -103,7 +103,8 @@ class ShardedDegreeSpMM:
                 max(p["slot_src"].shape[0] for p in fwd_plans),
                 max(p["slot_src"].shape[0] for p in bwd_plans))
             itemsize = 4 if gather_dtype is None else np.dtype(gather_dtype).itemsize
-            if slots * max(feature_dim, 1) * itemsize > 8 << 30:
+            # Lane padding to 128 (see DegreeSpMM).
+            if slots * max(feature_dim, 128) * itemsize > 8 << 30:
                 row_chunk = 1 << 18
 
         self.has_static_vals = static_vals

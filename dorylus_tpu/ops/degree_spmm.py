@@ -411,8 +411,11 @@ class DegreeSpMM:
             # feature dim this op will aggregate; bf16 messages halve the
             # estimate (narrow mode ran unchunked at 6.9 GB worst case).
             slots = max(fwd["slot_src"].size, bwd["slot_src"].size)
-            if slots * max(feature_dim, 1) * (2 if narrow else 4) \
-                    > _ROW_CHUNK_BYTES:
+            # TPU tiles pad the lane dim to 128: a (R, B, F<128) message
+            # tensor occupies F=128 worth of HBM (measured 2.0x expansion
+            # in compile OOM dumps at F=64 — the amazon config).
+            eff_f = max(feature_dim, 128)
+            if slots * eff_f * (2 if narrow else 4) > _ROW_CHUNK_BYTES:
                 row_chunk = 1 << 18
         fwd_obr = fwd.pop("_out_block_rows", 0)
         bwd_obr = bwd.pop("_out_block_rows", 0)
