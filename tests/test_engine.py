@@ -59,3 +59,19 @@ def test_group_len_boundaries():
     # cap
     cfgcap = TrainConfig(eval_every=0, epochs_per_call=3)
     assert group_len(0, 20, cfgcap) == 3
+
+
+def test_engine_gat_degree_matches_xla():
+    """Single-device GAT: the degree kernel's dst-functional attention path
+    (apply_dst) must train identically to the edgewise XLA path."""
+    import numpy as np
+
+    from dorylus_tpu.graph.graph import synthetic_graph
+
+    g = synthetic_graph(500, 6, 16, 5, seed=33)
+    layers = LayerConfig([16, 8, 5])
+    cfg = dict(model="gat", epochs=4, eval_every=0, learning_rate=0.003)
+    r_x = Engine(g, layers, TrainConfig(**cfg, kernel="xla")).run()
+    r_d = Engine(g, layers, TrainConfig(**cfg, kernel="degree")).run()
+    for a, b in zip(r_x.epochs, r_d.epochs):
+        np.testing.assert_allclose(a.loss, b.loss, rtol=2e-3, atol=1e-6)
