@@ -95,9 +95,13 @@ class RunReport:
             f.write(self.to_json())
 
     def summary(self) -> str:
+        min_ms = min((e.time_ms for e in self.epochs), default=0.0)
         lines = [
             f"epochs run        : {len(self.epochs)}",
             f"avg epoch time    : {self.avg_epoch_ms:.2f} ms",
+            # The first epoch group includes compilation; min is the
+            # closest single-run proxy for the warm epoch time.
+            f"min epoch time    : {min_ms:.2f} ms",
             f"final val accuracy: {self.final_accuracy}",
             f"test accuracy     : {self.test_accuracy}",
             f"total time        : {self.total_time_s:.2f} s",
