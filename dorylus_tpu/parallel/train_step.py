@@ -294,6 +294,10 @@ class ShardedEngine:
 
         epoch = self.start_epoch
         end = self.start_epoch + epochs
+        first_k = group_len(self.start_epoch, end, cfg)
+        if first_k > 1:
+            log("first %d-epoch group includes compilation — per-epoch "
+                "times are warm from the second run on", first_k)
         while epoch < end:
             k = group_len(epoch, end, cfg)
             t0 = time.perf_counter()
