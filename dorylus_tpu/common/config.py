@@ -110,8 +110,9 @@ class TrainConfig:
     # arrays), and a full tunnel roundtrip per epoch on the remote TPU —
     # while the scanned body amortizes it to ~nothing. 0 = auto (group to
     # the next eval/checkpoint boundary); 1 = dispatch per epoch (the
-    # reference's loop structure). Bounded staleness forces 1 (the weight
-    # stash lives across calls).
+    # reference's loop structure). Bounded staleness composes with
+    # grouping: the weight-stash window rides the scan carry, so grouped
+    # epochs see exactly the stale versions per-epoch dispatch would.
     epochs_per_call: int = 0
 
     # Numerics

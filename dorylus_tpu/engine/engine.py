@@ -49,6 +49,8 @@ def group_len(epoch: int, end: int, cfg: TrainConfig) -> int:
     next eval/checkpoint boundary (capped by cfg.epochs_per_call when >0).
     Bounded staleness composes (the weight-stash window rides the scan
     carry), so it does not constrain grouping."""
+    if epoch >= end:  # empty range: run(0) is a no-op, not a hang
+        return 0
     if cfg.epochs_per_call == 1:
         return 1
     k = 1

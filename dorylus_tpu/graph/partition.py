@@ -86,6 +86,7 @@ class ShardedGraph:
         from dorylus_tpu.parallel.halo import build_recv_plan
 
         f = lambda name: np.stack([getattr(s, name) for s in self.shards])
+        recv_plans = [build_recv_plan(s.send_idx) for s in self.shards]
         return {
             "x": f("x"),
             "onehot": f("onehot"),
@@ -100,10 +101,8 @@ class ShardedGraph:
             # Host-built backward plan: halo gradients reduce via a SORTED
             # segment_sum instead of XLA scatter-add (parallel/halo.py
             # build_recv_plan).
-            "halo_order": np.stack(
-                [build_recv_plan(s.send_idx)[0] for s in self.shards]),
-            "halo_rows": np.stack(
-                [build_recv_plan(s.send_idx)[1] for s in self.shards]),
+            "halo_order": np.stack([p[0] for p in recv_plans]),
+            "halo_rows": np.stack([p[1] for p in recv_plans]),
             "global_ids": f("global_ids"),
             "src_int": f("src_int"),
             "dst_int": f("dst_int"),

@@ -146,8 +146,13 @@ def ldg_partition(src: np.ndarray, dst: np.ndarray, num_v: int,
                     continue
                 score = np.bincount(parts[neigh], minlength=k)
                 cur = parts[v]
-                cand = int(np.argmax(score - (size >= rcap) * len(neigh)))
-                if score[cand] > score[cur] and size[cand] < rcap:
+                # Mirror gc_refine_partition: among parts WITH ROOM, move
+                # to the highest-affinity one when it strictly beats cur
+                # (a full top-affinity part must not block a second-best
+                # move that still improves the cut).
+                open_score = np.where(size < rcap, score, -1)
+                cand = int(np.argmax(open_score))
+                if open_score[cand] > score[cur]:
                     size[cur] -= 1
                     size[cand] += 1
                     parts[v] = cand

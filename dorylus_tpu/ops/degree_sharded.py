@@ -87,8 +87,11 @@ class ShardedDegreeSpMM:
             # Slot liveness for the dst-functional path (apply_dst):
             # padding EDGES carry runtime val 0 in the per-edge path, but
             # apply_dst derives weights from dst_val[dst] — so dead edges
-            # must be masked statically (live = real edge, not a pad).
-            live = np.asarray(s.edge_val) != 0
+            # must be masked statically. Liveness comes from the pad
+            # STRUCTURE (partition_graph places the s.num_edges real edges
+            # first, pads at the tail), not from edge_val != 0 — a real
+            # edge whose value happens to be 0 must stay live.
+            live = np.arange(ep) < s.num_edges
             live_ext = np.r_[live, False]
             ve = np.r_[np.asarray(s.edge_val, np.float32), 0.0]
             for p in (fwd_plans[-1], bwd_plans[-1]):

@@ -61,6 +61,20 @@ def test_group_len_boundaries():
     assert group_len(0, 20, cfgcap) == 3
 
 
+def test_run_zero_epochs_is_noop():
+    """group_len on an empty range returns 0 and run(0) terminates (the
+    round-2 advisory: it hung forever with eval_every=0)."""
+    from dorylus_tpu.engine.engine import group_len
+
+    assert group_len(0, 0, TrainConfig(eval_every=0)) == 0
+    assert group_len(5, 5, TrainConfig(eval_every=1)) == 0
+    assert group_len(7, 3, TrainConfig(eval_every=0, epochs_per_call=1)) == 0
+    g = synthetic_graph(200, 4, 16, 4, seed=3)
+    eng = Engine(g, LayerConfig([16, 8, 4]), TrainConfig(eval_every=0))
+    report = eng.run(0)
+    assert len(report.epochs) == 0
+
+
 def test_engine_gat_degree_matches_xla():
     """Single-device GAT: the degree kernel's dst-functional attention path
     (apply_dst) must train identically to the edgewise XLA path."""
