@@ -44,29 +44,53 @@ def _max_agg_width(layers: LayerConfig, cfg: TrainConfig) -> int:
     return max(dims[:-1])
 
 
+# Auto group size (epochs_per_call=0): bounds how long a compiled call
+# runs between progress lines; dispatch overhead amortizes to <1% of a
+# Reddit-config epoch at this size.
+AUTO_GROUP_CAP = 25
+
+
 def group_len(epoch: int, end: int, cfg: TrainConfig) -> int:
-    """Epochs to run in ONE compiled call starting at `epoch`: up to the
-    next eval/checkpoint boundary (capped by cfg.epochs_per_call when >0).
-    Bounded staleness composes (the weight-stash window rides the scan
-    carry), so it does not constrain grouping."""
+    """Epochs to run in ONE compiled call starting at `epoch`.
+
+    Evaluation no longer breaks groups: per-epoch eval stats are computed
+    INSIDE the scanned group under lax.cond flags, so the default
+    eval_every=1 still dispatches multi-epoch groups. The exceptions that
+    do bound a group: checkpoint boundaries (host-side file IO), an eval
+    boundary when target_accuracy early-stopping must inspect it promptly
+    (weightserver.cpp:270-294 checks per epoch), and the epochs_per_call
+    cap (auto: AUTO_GROUP_CAP). Bounded staleness composes (the
+    weight-stash window rides the scan carry)."""
     if epoch >= end:  # empty range: run(0) is a no-op, not a hang
         return 0
     if cfg.epochs_per_call == 1:
         return 1
+    cap = cfg.epochs_per_call if cfg.epochs_per_call else AUTO_GROUP_CAP
     k = 1
     while True:
         ep = epoch + k - 1
         if ep == end - 1:
             break
-        if cfg.eval_every and ep % cfg.eval_every == 0:
+        if (cfg.target_accuracy is not None and cfg.eval_every
+                and ep % cfg.eval_every == 0):
             break
         if (cfg.checkpoint_dir and cfg.checkpoint_every
                 and (ep + 1) % cfg.checkpoint_every == 0):
             break
-        if cfg.epochs_per_call and k >= cfg.epochs_per_call:
+        if k >= cap:
             break
         k += 1
     return k
+
+
+def eval_flags(epoch: int, k: int, end: int, cfg: TrainConfig) -> np.ndarray:
+    """(k,) bool: which epochs of this group evaluate (eval_every cadence
+    plus always the final epoch) — data, not shape, so the flag pattern
+    never recompiles the group."""
+    eps = np.arange(epoch, epoch + k)
+    if not cfg.eval_every:
+        return np.zeros(k, bool)
+    return (eps % cfg.eval_every == 0) | (eps == end - 1)
 
 
 class Engine:
@@ -182,9 +206,15 @@ class Engine:
         # initialized with S+1 copies of the start params reproduces the
         # growing-deque semantics exactly; S=0 degenerates to synchronous
         # training (grad at current params) with zero overhead.
-        def multi_step(params, opt_state, history, batch, lrs):
-            def body(carry, lr):
+        def multi_step(params, opt_state, history, batch, lrs, flags):
+            def val_stats(params):
+                probs = row_softmax(model.forward(params, batch))
+                return jnp.stack(accuracy_and_loss(probs, batch.onehot,
+                                                   batch.val_mask))
+
+            def body(carry, lr_flag):
                 params, opt_state, history = carry
+                lr, flag = lr_flag
                 grad_params = jax.tree.map(lambda x: x[0], history)
                 loss, grads = jax.value_and_grad(loss_fn)(grad_params, batch)
                 if cfg.adam:
@@ -197,11 +227,19 @@ class Engine:
                 history = jax.tree.map(
                     lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
                     history, params)
-                return (params, opt_state, history), loss
+                # In-group evaluation: flagged epochs run the f32 eval
+                # forward on the just-updated params; the cond skips the
+                # work on unflagged epochs, so eval cadence no longer has
+                # to break the compiled group (round-2 weak spot: the
+                # default eval_every=1 forced 1-epoch groups).
+                stats = jax.lax.cond(flag, val_stats,
+                                     lambda p: jnp.zeros(3, jnp.float32),
+                                     params)
+                return (params, opt_state, history), (loss, stats)
 
-            (params, opt_state, history), losses = jax.lax.scan(
-                body, (params, opt_state, history), lrs)
-            return params, opt_state, history, losses
+            (params, opt_state, history), (losses, stats) = jax.lax.scan(
+                body, (params, opt_state, history), (lrs, flags))
+            return params, opt_state, history, losses, stats
 
         def evaluate(params, batch, mask):
             probs = row_softmax(model.forward(params, batch))
@@ -258,33 +296,34 @@ class Engine:
                              cfg.lr_decay_factor)
                     if cfg.lr_decay_every else cfg.learning_rate)
                    for ep in range(epoch, epoch + k)]
-            self.params, self.opt_state, history, loss_arr = multi_step(
+            flags = eval_flags(epoch, k, end, cfg)
+            self.params, self.opt_state, history, loss_arr, stats = multi_step(
                 self.params, self.opt_state, history, self.batch,
-                jnp.asarray(lrs, jnp.float32))
-            # float() forces a host transfer — the only reliable sync on
-            # remote backends (block_until_ready returns early).
+                jnp.asarray(lrs, jnp.float32), jnp.asarray(flags))
+            # float()/np.asarray force a host transfer — the only reliable
+            # sync on remote backends (block_until_ready returns early).
             losses = [float(x) for x in np.asarray(loss_arr)]
+            stats = np.asarray(stats)  # (k, 3): correct, loss_sum, count
             dt_ms = 1e3 * (time.perf_counter() - t0) / k
             last_ep = epoch + k - 1
             acc = None
-            val_loss = None
-            last = last_ep == end - 1
-            if cfg.eval_every and (last_ep % cfg.eval_every == 0 or last):
-                correct, loss_sum, count = evaluate(
-                    self.params, self.batch, self.batch.val_mask)
-                acc = float(correct) / max(1.0, float(count))
-                val_loss = float(loss_sum) / max(1.0, float(count))
             for i, loss_f in enumerate(losses):
+                ep_acc = ep_vloss = None
+                if flags[i]:
+                    ep_acc = float(stats[i, 0]) / max(1.0, float(stats[i, 2]))
+                    ep_vloss = float(stats[i, 1]) / max(1.0, float(stats[i, 2]))
+                    acc = ep_acc
+                    # Per-epoch line like the WS master (weightserver.cpp:258-262).
+                    log("Epoch %d: %.2f ms, train loss %.4f, val acc %.4f, "
+                        "val loss %.4f", epoch + i, dt_ms, loss_f, ep_acc,
+                        ep_vloss)
                 self.report.add_epoch(EpochRecord(
-                    epoch + i, dt_ms, loss=loss_f,
-                    accuracy=acc if epoch + i == last_ep else None))
+                    epoch + i, dt_ms, loss=loss_f, accuracy=ep_acc))
             self._maybe_checkpoint(last_ep)
-            if acc is not None:
-                # Per-epoch line like the WS master (weightserver.cpp:258-262).
-                log("Epoch %d: %.2f ms, train loss %.4f, val acc %.4f, val loss %.4f",
-                    last_ep, dt_ms, losses[-1], acc, val_loss)
             # Converge state machine (weightserver.cpp:270-294): EARLY ->
             # CLOSE drains the async window (async->sync switch), DONE stops.
+            # With target_accuracy set, group_len breaks at eval boundaries,
+            # so the group's last accuracy is inspected promptly.
             was_sync = monitor.synchronous
             monitor.update(acc)
             if monitor.synchronous and not was_sync and stale:

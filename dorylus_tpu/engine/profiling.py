@@ -52,11 +52,25 @@ def profile_stages(model, params, batch: GraphBatch,
     profile_stages_sharded."""
     out: Dict[str, float] = {}
 
+    # The agg brackets must time the kernel dispatch the MODEL uses, or
+    # stage sums stop bracketing the fused step: GAT drives the
+    # dst-functional path (apply_dst — no per-edge value arrays), GCN with
+    # static norms drives apply_static (models/gat.py:117, gcn.py:97).
+    is_gat = type(model).__name__ == "GAT"
+
+    def _model_agg(spmm_op, arrays, table, batch):
+        if is_gat and hasattr(spmm_op, "apply_dst"):
+            # Data-dependent stand-in for leaky(z·a) — a (Vp,) column.
+            return spmm_op.apply_dst(arrays, table, table[:, 0])
+        if getattr(spmm_op, "has_static_vals", False):
+            return spmm_op.apply_static(arrays, table)
+        return spmm_op.apply(arrays, table, batch.edge_val)
+
     h = batch.x
     for l in range(model.layers.num_layers):
         w = params[f"w{l}"]
         fin, fout = w.shape
-        f = min(fin, fout)
+        f = fout if is_gat else min(fin, fout)
         hh = h[:, :f] if h.shape[1] >= f else jnp.pad(h, ((0, 0), (0, f - h.shape[1])))
 
         spmm_op = getattr(model, "spmm_op", None)
@@ -66,7 +80,7 @@ def profile_stages(model, params, batch: GraphBatch,
             # bound), not unconditionally the edgewise path.
             if spmm_op is not None:
                 arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
-                return spmm_op.apply(arrays, hh + c * 1e-12, batch.edge_val)
+                return _model_agg(spmm_op, arrays, hh + c * 1e-12, batch)
             return aggregate(hh + c * 1e-12, batch.src, batch.dst,
                              batch.edge_val, batch.self_val, sorted_dst=True)
 
@@ -77,7 +91,7 @@ def profile_stages(model, params, batch: GraphBatch,
                 arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
 
                 def loss(x):
-                    o = spmm_op.apply(arrays, x, batch.edge_val)
+                    o = _model_agg(spmm_op, arrays, x, batch)
                     return (o * o).sum()
 
                 return jax.grad(loss)(hh + c * 1e-12)
@@ -181,16 +195,20 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
             out[f"halo_l{l}_ms"] = _time(halo_fn)
 
         spmm_op = getattr(model, "spmm_op", None)
+        is_gat = cfg.model == "gat"
 
         def agg_fn(params, batch, send_idx, c, make_h=make_h):
             h = make_h(batch, c)
             # Stand-in ghost table with the real table's shape: rows
             # re-gathered locally (no collective) — times the SpMM alone,
-            # with the kernel the engine actually selected.
+            # with the kernel dispatch the MODEL drives (apply_dst for
+            # GAT, apply_static for GCN static norms).
             ghosts = h[send_idx % h.shape[0]].reshape(-1, h.shape[1])
             table = jnp.concatenate([h, ghosts], axis=0)
             if spmm_op is not None:
                 arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
+                if is_gat and hasattr(spmm_op, "apply_dst"):
+                    return spmm_op.apply_dst(arrays, table, h[:, 0])
                 if getattr(spmm_op, "has_static_vals", False):
                     return spmm_op.apply_static(arrays, table)
                 return spmm_op.apply(arrays, table, batch.edge_val)

@@ -31,7 +31,8 @@ from dorylus_tpu.ops.degree_spmm import (build_degree_plan, degree_spmm_apply,
 def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
     """Pad each plan's block rows to the cross-shard max and stack."""
     rmax = max(p["slot_src"].shape[0] for p in plans)
-    keys = ["slot_src", "slot_to_edge", "block_row", "edge_to_slot", "live"]
+    keys = ["slot_src", "slot_to_edge", "block_row", "edge_to_slot",
+            "live_cnt"]
     if "vals" in plans[0]:
         keys.append("vals")
     out = {k: [] for k in keys}
@@ -46,7 +47,7 @@ def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
         # Row padding appends past the real rows, so flat slot indices in
         # the inverse map stay valid unchanged (uniform length = ep).
         out["edge_to_slot"].append(p["edge_to_slot"])
-        out["live"].append(np.pad(p["live"], ((0, pad), (0, 0))))
+        out["live_cnt"].append(np.pad(p["live_cnt"], (0, pad)))
         if "vals" in out:
             out["vals"].append(np.pad(p["vals"], ((0, pad), (0, 0))))
     return {k: np.stack(v) for k, v in out.items()}
@@ -90,13 +91,22 @@ class ShardedDegreeSpMM:
             # must be masked statically. Liveness comes from the pad
             # STRUCTURE (partition_graph places the s.num_edges real edges
             # first, pads at the tail), not from edge_val != 0 — a real
-            # edge whose value happens to be 0 must stay live.
+            # edge whose value happens to be 0 must stay live. Pad edges
+            # stable-sort AFTER the real edges of the same dst, so
+            # row-liveness stays a prefix and compresses to the (R,) count
+            # build_degree_plan carries (see _slot_live); the assert pins
+            # that invariant against future edge orderings.
             live = np.arange(ep) < s.num_edges
             live_ext = np.r_[live, False]
             ve = np.r_[np.asarray(s.edge_val, np.float32), 0.0]
             for p in (fwd_plans[-1], bwd_plans[-1]):
-                p["live"] = live_ext[
-                    np.minimum(p["slot_to_edge"], ep)].astype(np.bool_)
+                mask = live_ext[np.minimum(p["slot_to_edge"], ep)]
+                cnt = mask.sum(axis=1).astype(np.int32)
+                blk = p["slot_src"].shape[1]
+                assert (mask == (np.arange(blk)[None, :]
+                                 < cnt[:, None])).all(), \
+                    "slot liveness must be a per-row prefix"
+                p["live_cnt"] = cnt
                 if static_vals:
                     p["vals"] = ve[p["slot_to_edge"]]
 

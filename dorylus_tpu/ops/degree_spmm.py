@@ -103,6 +103,11 @@ def build_degree_plan(src: np.ndarray, dst: np.ndarray,
         "slot_to_edge": slot_to_edge.astype(np.int32).reshape(r, block),
         "block_row": block_row.astype(np.int32),
         "edge_to_slot": edge_to_slot.astype(np.int32),
+        # Live slots per block row. Edges fill each vertex's slot run in
+        # order, so liveness within a row is always a PREFIX — a (R,) count
+        # reconstructs the (R, B) mask via an in-register iota compare,
+        # 16x fewer mask bytes than a dense (R, B) array (see _slot_live).
+        "live_cnt": np.bincount(slot // block, minlength=r).astype(np.int32),
     }
     if out_block_rows is None:
         out_block_rows = 131072 if num_out > _OUT_BLOCK_AUTO_V else 0
@@ -264,13 +269,28 @@ degree_spmm_apply.defvjp(_apply_fwd, _apply_bwd)
 
 
 def _slot_live(plan: dict, sentinel: int) -> jnp.ndarray:
-    """(R, B) f32 liveness: 1 for slots bound to a LIVE edge. Plans built
-    with an explicit edge-live mask (sharded pad edges) carry "live";
-    otherwise every non-sentinel slot is live."""
-    live = plan.get("live")
-    if live is not None:
-        return live.astype(jnp.float32)
+    """(R, B) f32 liveness: 1 for slots bound to a LIVE edge. Liveness is
+    a per-row prefix (edges fill slot runs in order; sharded pad edges
+    sort after the real edges of the same dst), so plans carry an (R,)
+    count ("live_cnt") expanded here by an iota compare — no (R, B) mask
+    bytes move. Falls back to the sentinel test for plans without it."""
+    cnt = plan.get("live_cnt")
+    if cnt is not None:
+        b = plan["slot_src"].shape[1]
+        return (jax.lax.iota(jnp.int32, b)[None, :]
+                < cnt[:, None]).astype(jnp.float32)
     return (plan["slot_to_edge"] != sentinel).astype(jnp.float32)
+
+
+def _dst_unit_fwd(static, arrs, h):
+    """U[v] = sum_{live e: dst e = v} h[src e] — the unit-weight forward
+    aggregate all dst-functional math factors through."""
+    _, num_out, row_chunk, gdt = static[:4]
+    fwd_obr, sentinel = static[4], static[6]
+    fplan = arrs["fwd"]
+    return _degree_pass(h, fplan, num_out, None, row_chunk, gdt,
+                        out_block_rows=fwd_obr,
+                        vals=_slot_live(fplan, sentinel))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -279,45 +299,46 @@ def degree_spmm_dst_apply(static, arrs, h, dst_val):
     out[v] = sum_{e: dst e = v} dst_val[v] * h[src e]   (live edges only).
 
     This is exactly Dorylus GAT attention (logits from the destination
-    only, funcs/gat/ops/forward_ops.cpp:109-141), and it removes every
-    per-EDGE value array from the kernel: the forward weights come from an
-    R-sized gather of dst_val by block row (vs the 16x larger per-slot
-    edge-id gather from an E-sized table), and the backward needs no
-    per-edge dval extraction at all —
-        d dst_val[v] = < sum_{e: dst=v} h[src e], gout[v] >
-    because gout[dst e] is shared by all of v's edges: one unit-weight
-    pass plus a row-wise dot. static adds num_edges (the slot sentinel) at
-    index 6."""
-    _, num_out, row_chunk, gdt = static[:4]
-    fwd_obr = static[4]
-    sentinel = static[6]
-    fplan = arrs["fwd"]
-    vals = (dst_val.astype(jnp.float32)[fplan["block_row"]][:, None]
-            * _slot_live(fplan, sentinel))
-    return _degree_pass(h, fplan, num_out, None, row_chunk, gdt,
-                        out_block_rows=fwd_obr, vals=vals)
+    only, funcs/gat/ops/forward_ops.cpp:109-141). Because the weight is
+    constant across each destination's edges, it factors OUT of the sum:
+        out = dst_val[:, None] * U,   U[v] = sum_{e: dst=v} h[src e]
+    so no per-edge (or even per-slot) value array ever exists, and U —
+    already computed by the forward — is exactly the residual the
+    attention gradient needs:
+        d dst_val[v] = <U[v], gout[v]>                (a row-dot, free)
+        dh           = unit-pass over the transposed plan of
+                       dst_val[:, None] * gout        (ONE edge sweep)
+    The reference computes its attention backward in one fused sweep too
+    (gat_ops.cpp:222-241); round 2's version here paid a second full
+    forward-plan sweep for U — fused away in round 3. static adds
+    num_edges (the slot sentinel) at index 6."""
+    return _dst_unit_fwd(static, arrs, h) * dst_val.astype(jnp.float32)[:, None]
 
 
 def _dst_fwd(static, arrs, h, dst_val):
-    return degree_spmm_dst_apply(static, arrs, h, dst_val), (arrs, h, dst_val)
+    u = _dst_unit_fwd(static, arrs, h)
+    out = u * dst_val.astype(jnp.float32)[:, None]
+    # h rides the residuals only for its shape/dtype (truncating dh) —
+    # the backward never reads its values.
+    return out, (arrs, dst_val, u, h)
 
 
 def _dst_bwd(static, res, gout):
-    arrs, h, dst_val = res
+    arrs, dst_val, u, h = res
+    h_rows, h_dtype = h.shape[0], h.dtype
     num_in, num_out, row_chunk, gdt = static[:4]
-    fwd_obr, bwd_obr, sentinel = static[4], static[5], static[6]
-    fplan, bplan = arrs["fwd"], arrs["bwd"]
-    # dh over the transposed plan; its slot_src ARE the edge destinations,
-    # so the per-slot weights are a small-table (num_out-row) gather.
-    vals_bwd = (dst_val.astype(jnp.float32)[bplan["slot_src"]]
-                * _slot_live(bplan, sentinel))
-    dh_full = _degree_pass(gout, bplan, num_in, None, row_chunk, gdt,
-                           out_block_rows=bwd_obr, vals=vals_bwd)
-    dh = dh_full[: h.shape[0]].astype(h.dtype)
-    # Unit-weight pass: U[v] = sum_{e: dst=v} h[src e]; then row-dot.
-    U = _degree_pass(h, fplan, num_out, None, row_chunk, gdt,
-                     out_block_rows=fwd_obr, vals=_slot_live(fplan, sentinel))
-    d_dst = (U * gout.astype(jnp.float32)).sum(-1).astype(dst_val.dtype)
+    bwd_obr, sentinel = static[5], static[6]
+    bplan = arrs["bwd"]
+    # dh[u] = sum_{e: src=u} dst_val[dst e] * gout[dst e]: scale gout rows
+    # once (a (V, F) elementwise op) and run ONE unit-weight pass over the
+    # transposed plan — no per-slot weight gather at all.
+    gscaled = gout.astype(jnp.float32) * dst_val.astype(jnp.float32)[:, None]
+    dh_full = _degree_pass(gscaled, bplan, num_in, None, row_chunk, gdt,
+                           out_block_rows=bwd_obr,
+                           vals=_slot_live(bplan, sentinel))
+    dh = dh_full[:h_rows].astype(h_dtype)
+    # Attention grad from the saved unit aggregate: a row-wise dot.
+    d_dst = (u * gout.astype(jnp.float32)).sum(-1).astype(dst_val.dtype)
     d_arrs = jax.tree.map(
         lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
         else None, arrs)

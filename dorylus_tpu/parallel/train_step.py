@@ -118,18 +118,24 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     # Bounded staleness rides the scan carry as a stacked (S+1, ...)
     # param history — same construction as engine.Engine._make_step.
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), data_spec, P()),
-             out_specs=(P(), P(), P(), P()),
+             in_specs=(P(), P(), P(), data_spec, P(), P()),
+             out_specs=(P(), P(), P(), P(), P()),
              check_vma=False)
-    def multi_step(params, opt_state, history, arrs, lrs):
+    def multi_step(params, opt_state, history, arrs, lrs, flags):
         batch, send_idx = _local_batch(arrs, denom, overlap)
         halo = _halo_fn(send_idx)
 
         def local_loss(p):
             return model.loss(p, batch, halo=halo, compute_dtype=compute_dtype)
 
-        def body(carry, lr):
+        def val_stats(params):
+            probs = row_softmax(model.forward(params, batch, halo=halo))
+            return jnp.stack(accuracy_and_loss(probs, batch.onehot,
+                                               batch.val_mask))
+
+        def body(carry, lr_flag):
             params, opt_state, history = carry
+            lr, flag = lr_flag
             grad_params = jax.tree.map(lambda x: x[0], history)
             loss, grads = jax.value_and_grad(local_loss)(grad_params)
             grads = jax.lax.psum(grads, GRAPH_AXIS)
@@ -144,11 +150,18 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
             history = jax.tree.map(
                 lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
                 history, params)
-            return (params, opt_state, history), loss
+            # In-group eval (see engine.Engine._make_step): the flag is
+            # replicated so every shard takes the same branch; the psum
+            # stays OUTSIDE the cond (zeros psum on skipped epochs).
+            stats = jax.lax.cond(flag, val_stats,
+                                 lambda p: jnp.zeros(3, jnp.float32),
+                                 params)
+            stats = jax.lax.psum(stats, GRAPH_AXIS)
+            return (params, opt_state, history), (loss, stats)
 
-        (params, opt_state, history), losses = jax.lax.scan(
-            body, (params, opt_state, history), lrs)
-        return params, opt_state, history, losses
+        (params, opt_state, history), (losses, stats) = jax.lax.scan(
+            body, (params, opt_state, history), (lrs, flags))
+        return params, opt_state, history, losses, stats
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), data_spec, None),
@@ -298,6 +311,8 @@ class ShardedEngine:
         if first_k > 1:
             log("first %d-epoch group includes compilation — per-epoch "
                 "times are warm from the second run on", first_k)
+        from dorylus_tpu.engine.engine import eval_flags
+
         while epoch < end:
             k = group_len(epoch, end, cfg)
             t0 = time.perf_counter()
@@ -305,27 +320,29 @@ class ShardedEngine:
                              cfg.lr_decay_factor)
                     if cfg.lr_decay_every else cfg.learning_rate)
                    for ep in range(epoch, epoch + k)]
-            self.params, self.opt_state, history, loss_arr = multi_step(
+            flags = eval_flags(epoch, k, end, cfg)
+            (self.params, self.opt_state, history, loss_arr,
+             stats_arr) = multi_step(
                 self.params, self.opt_state, history, self.arrs,
-                jnp.asarray(lrs, jnp.float32))
-            # float() forces a host transfer — reliable sync even on
-            # remote backends where block_until_ready returns early.
+                jnp.asarray(lrs, jnp.float32), jnp.asarray(flags))
+            # float()/np.asarray force a host transfer — reliable sync even
+            # on remote backends where block_until_ready returns early.
             losses = [float(x) for x in np.asarray(loss_arr)]
+            stats_arr = np.asarray(stats_arr)  # (k, 3) psum'd
             dt_ms = 1e3 * (time.perf_counter() - t0) / k
             last_ep = epoch + k - 1
             acc = None
-            last = last_ep == end - 1
-            if cfg.eval_every and (last_ep % cfg.eval_every == 0 or last):
-                stats = evaluate(self.params, self.arrs, "val")
-                acc = float(stats[0]) / max(1.0, float(stats[2]))
             for i, loss_f in enumerate(losses):
+                ep_acc = None
+                if flags[i]:
+                    ep_acc = float(stats_arr[i, 0]) / max(
+                        1.0, float(stats_arr[i, 2]))
+                    acc = ep_acc
+                    log("Epoch %d: %.2f ms, loss %.4f, val acc %.4f",
+                        epoch + i, dt_ms, loss_f, ep_acc)
                 self.report.add_epoch(EpochRecord(
-                    epoch + i, dt_ms, loss=loss_f,
-                    accuracy=acc if epoch + i == last_ep else None))
+                    epoch + i, dt_ms, loss=loss_f, accuracy=ep_acc))
             self._maybe_checkpoint(last_ep)
-            if acc is not None:
-                log("Epoch %d: %.2f ms, loss %.4f, val acc %.4f",
-                    last_ep, dt_ms, losses[-1], acc)
             was_sync = monitor.synchronous
             monitor.update(acc)
             if monitor.synchronous and not was_sync and stale:

@@ -32,25 +32,38 @@ def test_gat_end_to_end():
 
 
 def test_group_len_boundaries():
-    """Epoch grouping must stop exactly at eval/checkpoint boundaries
-    (staleness no longer constrains it — the window rides the scan)."""
-    from dorylus_tpu.common.config import TrainConfig
-    from dorylus_tpu.engine.engine import group_len
+    """Eval now runs INSIDE the scanned group (lax.cond flags), so the
+    default eval cadence no longer breaks groups; checkpoints, the
+    early-stop mode, and the epochs_per_call cap still do."""
+    import numpy as np
 
-    cfg = TrainConfig(eval_every=5)
-    # epoch 0 is an eval boundary (0 % 5 == 0) -> group of 1
-    assert group_len(0, 20, cfg) == 1
-    # epochs 1..5 group together (5 is the next eval epoch)
-    assert group_len(1, 20, cfg) == 5
-    assert group_len(6, 20, cfg) == 5
-    # tail truncates at end-1
-    assert group_len(16, 20, cfg) == 4
+    from dorylus_tpu.common.config import TrainConfig
+    from dorylus_tpu.engine.engine import AUTO_GROUP_CAP, eval_flags, group_len
+
+    # Default (eval_every=1, no target acc): groups engage to the cap.
+    cfg = TrainConfig()
+    assert group_len(0, 100, cfg) == AUTO_GROUP_CAP
+    assert group_len(0, 20, cfg) == 20  # tail truncates at end-1
+    # Eval flags mark every epoch at the default cadence.
+    assert eval_flags(0, 20, 20, cfg).all()
+    cfg5 = TrainConfig(eval_every=5)
+    assert group_len(1, 20, cfg5) == 19
+    np.testing.assert_array_equal(
+        eval_flags(1, 19, 20, cfg5),
+        [(e % 5 == 0) or e == 19 for e in range(1, 20)])
+    # target_accuracy: early stop must inspect accuracy promptly, so eval
+    # boundaries bound the group again (weightserver.cpp:270-294).
+    cfgt = TrainConfig(eval_every=5, target_accuracy=0.9)
+    assert group_len(0, 20, cfgt) == 1
+    assert group_len(1, 20, cfgt) == 5
+    assert group_len(6, 20, cfgt) == 5
     # explicit per-epoch mode
     cfg1 = TrainConfig(eval_every=0, epochs_per_call=1)
     assert group_len(3, 20, cfg1) == 1
-    # no boundaries at all -> one group to the end
+    # no eval at all -> no flags
     cfg0 = TrainConfig(eval_every=0)
     assert group_len(0, 20, cfg0) == 20
+    assert not eval_flags(0, 20, 20, cfg0).any()
     # checkpoint boundary
     cfgc = TrainConfig(eval_every=0, checkpoint_dir="/tmp/x",
                        checkpoint_every=4)
