@@ -44,14 +44,16 @@ def write_graph_bsnap(path: str | Path, src: np.ndarray, dst: np.ndarray,
 
 
 def read_graph_bsnap(path: str | Path) -> tuple[np.ndarray, np.ndarray, int]:
-    """Returns (src, dst, num_vertices)."""
-    raw = Path(path).read_bytes()
-    size_of_vtx, num_v, num_e = _GRAPH_HDR.unpack_from(raw, 0)
-    off = _GRAPH_HDR.size
+    """Returns (src, dst, num_vertices). The edge payload is memory-mapped
+    (one streaming copy into the int32 outputs), never buffered whole —
+    Friendster-scale bsnap files are tens of GB."""
+    with open(path, "rb") as f:
+        size_of_vtx, num_v, num_e = _GRAPH_HDR.unpack(f.read(_GRAPH_HDR.size))
     assert size_of_vtx == 4, f"unsupported vertex width {size_of_vtx}"
-    pairs = np.frombuffer(raw, dtype="<u4", offset=off)
-    pairs = pairs[: 2 * num_e].reshape(-1, 2)
-    return (pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32), int(num_v))
+    pairs = np.memmap(path, dtype="<u4", mode="r", offset=_GRAPH_HDR.size,
+                      shape=(num_e, 2))
+    return (pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32),
+            int(num_v))
 
 
 def write_features_bsnap(path: str | Path, feats: np.ndarray) -> None:
@@ -62,13 +64,13 @@ def write_features_bsnap(path: str | Path, feats: np.ndarray) -> None:
 
 def read_features_bsnap(path: str | Path, feature_dim: Optional[int] = None
                         ) -> np.ndarray:
-    raw = Path(path).read_bytes()
-    (hdr_dim,) = struct.unpack_from("<I", raw, 0)
+    with open(path, "rb") as f:
+        (hdr_dim,) = struct.unpack("<I", f.read(4))
     dim = hdr_dim or feature_dim
     assert dim, "feature dim not in header; pass feature_dim"
-    flat = np.frombuffer(raw, dtype="<f4", offset=4)
+    flat = np.memmap(path, dtype="<f4", mode="r", offset=4)
     assert flat.size % dim == 0, (flat.size, dim)
-    return flat.reshape(-1, dim).astype(np.float32)
+    return np.asarray(flat, np.float32).reshape(-1, dim)
 
 
 def write_labels_bsnap(path: str | Path, labels: np.ndarray,
@@ -79,9 +81,10 @@ def write_labels_bsnap(path: str | Path, labels: np.ndarray,
 
 
 def read_labels_bsnap(path: str | Path) -> tuple[np.ndarray, int]:
-    raw = Path(path).read_bytes()
-    (kinds,) = struct.unpack_from("<I", raw, 0)
-    labels = np.frombuffer(raw, dtype="<u4", offset=4).astype(np.int32)
+    with open(path, "rb") as f:
+        (kinds,) = struct.unpack("<I", f.read(4))
+    labels = np.memmap(path, dtype="<u4", mode="r",
+                       offset=4).astype(np.int32)
     return labels, int(kinds)
 
 

@@ -91,12 +91,23 @@ class Graph:
     def make_undirected(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Add reverse edges and dedupe (the reference datasets ship directed
         edge lists; inputs/prepare treats the graph as undirected for METIS)."""
-        s = np.concatenate([src, dst])
-        d = np.concatenate([dst, src])
+        from dorylus_tpu import native
+
+        s = np.concatenate([src, dst]).astype(np.uint64)
+        d = np.concatenate([dst, src]).astype(np.uint64)
         keep = s != d  # drop explicit self loops; normalization adds them
         s, d = s[keep], d[keep]
-        uniq = np.unique(np.stack([s, d], axis=1), axis=0)
-        return uniq[:, 0].astype(np.int32), uniq[:, 1].astype(np.int32)
+        # Dedupe via one composite-key sort (same (src, dst) lexicographic
+        # order np.unique(axis=0) produced, minus its row-view overhead —
+        # the structured-dtype unique was the preprocessing wall at 100M+
+        # edges).
+        key = (s << np.uint64(32)) | d
+        key = key[native.sort_by_key64(key)]
+        new = np.ones(len(key), bool)
+        new[1:] = key[1:] != key[:-1]
+        key = key[new]
+        return ((key >> np.uint64(32)).astype(np.int32),
+                (key & np.uint64(0xFFFFFFFF)).astype(np.int32))
 
 
 def synthetic_graph(

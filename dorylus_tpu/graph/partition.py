@@ -156,45 +156,88 @@ def partition_graph(
     pad_edges_to: int = 128,
     pad_halo_to: int = 8,
 ) -> ShardedGraph:
-    """Build uniformly-padded shards + halo exchange plan."""
+    """Build uniformly-padded shards + halo exchange plan.
+
+    Streams over the edge array a constant number of times (two stable
+    sorts + per-shard slicing), unlike the reference's per-edge
+    classification loop (dataloader.cpp:225-330) or this module's round-2
+    version, whose per-(shard, peer) `np.unique` masks were O(n²·E) and
+    could not reach the reference's 32-part Friendster configuration."""
+    from dorylus_tpu import native
+
     v_total = g.num_vertices
+    n = n_shards
     part = assign_partitions(g, n_shards, method, parts)
 
-    # Local vertex lists (sorted by global id => deterministic).
-    local_gids = [np.where(part == s)[0] for s in range(n_shards)]
-    local_index = np.full(v_total, -1, np.int64)  # global -> local row
-    for s in range(n_shards):
-        local_index[local_gids[s]] = np.arange(len(local_gids[s]))
+    # Local vertex ids: one stable argsort of `part` groups vertices by
+    # shard with global ids ascending inside each group (deterministic,
+    # same order as the round-2 np.where construction).
+    vorder = np.argsort(part, kind="stable")
+    vbounds = np.searchsorted(part[vorder], np.arange(n + 1))
+    local_gids = [vorder[vbounds[s]: vbounds[s + 1]] for s in range(n)]
+    local_index = np.empty(v_total, np.int64)  # global -> local row
+    local_index[vorder] = (np.arange(v_total)
+                           - np.repeat(vbounds[:-1], np.diff(vbounds)))
 
     edge_owner = part[g.dst]  # edges live with their destination shard
     src_owner = part[g.src]
 
-    # Ghost lists: ghosts[s][p] = sorted global ids owned by p, needed by s.
-    ghosts = [[np.empty(0, np.int64)] * n_shards for _ in range(n_shards)]
-    for s in range(n_shards):
-        e_sel = edge_owner == s
-        for p in range(n_shards):
-            if p == s:
-                continue
-            need = np.unique(g.src[e_sel & (src_owner == p)])
-            ghosts[s][p] = need.astype(np.int64)
+    # Per-shard edge slices: a stable sort by owner keeps the global CSC
+    # (dst-ascending) order within each shard.
+    eorder = np.argsort(edge_owner, kind="stable")
+    ebounds = np.searchsorted(edge_owner[eorder], np.arange(n + 1))
+    e_per_shard = np.diff(ebounds)
 
-    max_h = max(
-        (len(ghosts[s][p]) for s in range(n_shards) for p in range(n_shards)),
-        default=0,
-    )
+    # Ghost discovery in ONE pass: remote edges sorted by the composite
+    # key (edge_owner, src_owner, src gid); run starts mark the unique
+    # ghosts, already grouped per (receiver, owner) with gids ascending —
+    # exactly the ghosts[s][p] lists of the round-2 np.unique version.
+    remote_idx = np.where(edge_owner != src_owner)[0]
+    key = ((edge_owner[remote_idx].astype(np.uint64) << np.uint64(44))
+           | (src_owner[remote_idx].astype(np.uint64) << np.uint64(32))
+           | g.src[remote_idx].astype(np.uint64))
+    assert n <= (1 << 12) and v_total <= (1 << 32), "composite key width"
+    rs = remote_idx[native.sort_by_key64(key)]
+    r_recv = edge_owner[rs].astype(np.int64)  # needing shard
+    r_own = src_owner[rs].astype(np.int64)  # owning shard
+    r_gid = g.src[rs].astype(np.int64)
+    new = np.ones(len(rs), bool)
+    new[1:] = ((r_recv[1:] != r_recv[:-1]) | (r_own[1:] != r_own[:-1])
+               | (r_gid[1:] != r_gid[:-1]))
+    g_recv, g_own, g_gid = r_recv[new], r_own[new], r_gid[new]
+    pair = g_recv * n + g_own
+    pair_cnt = np.bincount(pair, minlength=n * n)
+    max_h = int(pair_cnt.max()) if len(g_gid) else 0
     max_h = max(_round_up(max(max_h, 1), pad_halo_to), pad_halo_to)
 
-    vp = max(len(ids) for ids in local_gids)
+    vp = max(int(np.diff(vbounds).max()), 1) if v_total else 1
     vp = _round_up(max(vp, 1), pad_vertices_to)
-    ep = max(int((edge_owner == s).sum()) for s in range(n_shards))
-    ep = _round_up(max(ep, 1), pad_edges_to)
-    int_counts = [int(((edge_owner == s) & (src_owner == s)).sum())
-                  for s in range(n_shards)]
-    bnd_counts = [int(((edge_owner == s) & (src_owner != s)).sum())
-                  for s in range(n_shards)]
-    ep_int = _round_up(max(max(int_counts), 1), pad_edges_to)
-    ep_bnd = _round_up(max(max(bnd_counts), 1), pad_edges_to)
+    ep = _round_up(max(int(e_per_shard.max()), 1), pad_edges_to)
+    int_counts = np.bincount(edge_owner[edge_owner == src_owner],
+                             minlength=n)
+    bnd_counts = e_per_shard - int_counts
+    ep_int = _round_up(max(int(int_counts.max()), 1), pad_edges_to)
+    ep_bnd = _round_up(max(int(bnd_counts.max()), 1), pad_edges_to)
+
+    # Feature-table index of every edge source, computed globally: local
+    # sources map through local_index; remote sources land in the ghost
+    # region vp + owner*max_h + (rank of gid within the receiver's ghost
+    # list of that owner) — the rank falls out of the sorted run layout.
+    run_start = np.zeros(n * n, np.int64)
+    np.cumsum(pair_cnt[:-1], out=run_start[1:])
+    ghost_rank = np.arange(len(g_gid)) - run_start[pair]
+    uniq_of_edge = np.cumsum(new) - 1  # remote edge -> its unique ghost
+    src_table = np.empty(g.num_edges, np.int64)
+    local_edge = edge_owner == src_owner
+    src_table[local_edge] = local_index[g.src[local_edge]]
+    src_table[rs] = vp + r_own * max_h + ghost_rank[uniq_of_edge]
+
+    # send_idx[s][p] = local rows (on s) that peer p needs from s =
+    # the unique ghosts with (recv=p, own=s): regroup them by owner.
+    sorder = np.argsort(g_own * n + g_recv, kind="stable")
+    sbounds = np.searchsorted((g_own * n + g_recv)[sorder],
+                              np.arange(n * n + 1))
+    send_rows = local_index[g_gid[sorder]]
 
     train_end = int(v_total * TRAIN_PORTION)
     val_end = train_end + int(v_total * VAL_PORTION)
@@ -226,25 +269,14 @@ def partition_graph(
         masks[1, :n_local] = ((sid >= train_end) & (sid < val_end)).astype(np.float32)
         masks[2, :n_local] = (sid >= val_end).astype(np.float32)
 
-        # Edges owned by this shard; remap src -> feature-table index.
-        e_sel = np.where(edge_owner == s)[0]
-        e_src_g = g.src[e_sel]
+        # Edges owned by this shard (already dst-ascending); the src ->
+        # feature-table remap was computed globally (src_table above).
+        e_sel = eorder[ebounds[s]: ebounds[s + 1]]
         e_dst_g = g.dst[e_sel]
         e_val = (np.ones(len(e_sel), np.float32) if for_gat
                  else g.edge_norm[e_sel])
-
-        src_idx = np.empty(len(e_sel), np.int64)
+        src_idx = src_table[e_sel]
         own = src_owner[e_sel] == s
-        src_idx[own] = local_index[e_src_g[own]]
-        for p in range(n_shards):
-            if p == s:
-                continue
-            sel = src_owner[e_sel] == p
-            if not sel.any():
-                continue
-            # Position of each ghost gid within the agreed (sorted) list.
-            pos = np.searchsorted(ghosts[s][p], e_src_g[sel])
-            src_idx[sel] = vp + p * max_h + pos
 
         # Padding dst slots carry the LAST local row (vp-1), not 0, so the
         # dst-ascending invariant the sorted-segment_sum hint relies on
@@ -279,8 +311,8 @@ def partition_graph(
         for p in range(n_shards):
             if p == s:
                 continue
-            rows = local_index[ghosts[p][s]]
-            send[p, : len(rows)] = rows
+            lo, hi = sbounds[s * n + p], sbounds[s * n + p + 1]
+            send[p, : hi - lo] = send_rows[lo:hi]
 
         shards.append(
             Shard(
