@@ -51,6 +51,7 @@ class Shard:
     test_mask: np.ndarray
     send_idx: np.ndarray  # (n_shards, max_h) int32 local rows to send to peer p
     num_edges: int  # real edge count
+    num_int: int = 0  # real interior edges (src local); bnd = num_edges - num_int
     # Interior/boundary split of the same edges (overlap path): interior
     # src index local rows [0, vp); boundary src index the ghost table
     # [0, n_shards*max_h). Aggregating interior edges has no data
@@ -330,6 +331,7 @@ def partition_graph(
                 test_mask=masks[2],
                 send_idx=send,
                 num_edges=len(e_sel),
+                num_int=k_int,
                 src_int=src_int, dst_int=dst_int, val_int=val_int,
                 src_bnd=src_bnd, dst_bnd=dst_bnd, val_bnd=val_bnd,
             )

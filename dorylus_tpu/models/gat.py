@@ -44,7 +44,8 @@ from dorylus_tpu.ops.spmm import spmm_dst_blocked, spmm_edgewise, take_sorted
 
 class GAT:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
-                 edge_chunk: int = 0, spmm_op=None, blk_rows: int = 0):
+                 edge_chunk: int = 0, spmm_op=None, blk_rows: int = 0,
+                 spmm_split=None):
         self.layers = layers
         self.sorted_dst = sorted_dst
         self.edge_chunk = edge_chunk
@@ -52,6 +53,10 @@ class GAT:
         # attention-value gradients (replacing gat hand-derived backward).
         self.spmm_op = spmm_op
         self.blk_rows = blk_rows  # dst-blocked aggregation (large V)
+        # (interior, boundary) degree-op pair for the halo-overlap path;
+        # attention is dst-functional, so BOTH passes weight by the same
+        # local leaky(z·a) and their sum equals the combined kernel.
+        self.spmm_split = spmm_split
 
     def init_params(self, seed: int = 8888, exact_reference: bool = True) -> Params:
         """w: xavier; a_i: kaiming — initWeightsMasterGAT
@@ -91,19 +96,35 @@ class GAT:
                 # Overlap path: halo returns ghost z rows only; interior
                 # attention aggregation proceeds alongside the collective.
                 ghosts = halo(z)
-                # take_sorted: dst arrays are ascending, so the attention
-                # gradient reduces via sorted segment_sum, not scatter-add.
-                att_i = leaky_relu(take_sorted(za, batch.dst_int, za.shape[0])) \
-                    * batch.val_int.astype(compute_dtype)
-                att_b = leaky_relu(take_sorted(za, batch.dst_bnd, za.shape[0])) \
-                    * batch.val_bnd.astype(compute_dtype)
-                agg = spmm_edgewise(z, batch.src_int, batch.dst_int, att_i,
-                                    z.shape[0], sorted_dst=self.sorted_dst,
-                                    edge_chunk=self.edge_chunk)
-                agg = agg + spmm_edgewise(ghosts, batch.src_bnd,
-                                          batch.dst_bnd, att_b, z.shape[0],
-                                          sorted_dst=self.sorted_dst,
-                                          edge_chunk=self.edge_chunk)
+                if self.spmm_split is not None:
+                    # Degree-kernel overlap: two dst-functional passes
+                    # (interior over z, boundary over the ghost rows),
+                    # both weighted by the local attention vector.
+                    op_i, op_b = self.spmm_split
+                    aux = batch.aux or {}
+                    att_v = leaky_relu(za)
+                    agg = (op_i.apply_dst(aux["spmm_int"], z, att_v)
+                           + op_b.apply_dst(aux["spmm_bnd"], ghosts, att_v)
+                           ).astype(z.dtype)
+                else:
+                    # take_sorted: dst arrays are ascending, so the
+                    # attention gradient reduces via sorted segment_sum,
+                    # not scatter-add.
+                    att_i = leaky_relu(
+                        take_sorted(za, batch.dst_int, za.shape[0])) \
+                        * batch.val_int.astype(compute_dtype)
+                    att_b = leaky_relu(
+                        take_sorted(za, batch.dst_bnd, za.shape[0])) \
+                        * batch.val_bnd.astype(compute_dtype)
+                    agg = spmm_edgewise(z, batch.src_int, batch.dst_int,
+                                        att_i, z.shape[0],
+                                        sorted_dst=self.sorted_dst,
+                                        edge_chunk=self.edge_chunk)
+                    agg = agg + spmm_edgewise(ghosts, batch.src_bnd,
+                                              batch.dst_bnd, att_b,
+                                              z.shape[0],
+                                              sorted_dst=self.sorted_dst,
+                                              edge_chunk=self.edge_chunk)
                 az = att = None
                 if return_intermediates:
                     az = za[batch.dst]

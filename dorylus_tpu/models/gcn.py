@@ -34,7 +34,7 @@ HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
 class GCN:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
                  edge_chunk: int = 0, optimize_order: bool = True,
-                 spmm_op=None, blk_rows: int = 0):
+                 spmm_op=None, blk_rows: int = 0, spmm_split=None):
         """sorted_dst: edge arrays are CSC-ordered (dst ascending) — both
         build_batch and partition_graph guarantee this.
 
@@ -56,6 +56,10 @@ class GCN:
         # Optional bound SpMM op (ops/degree_spmm.DegreeSpMM) for this
         # graph's sparsity pattern; falls back to the XLA path when None.
         self.spmm_op = spmm_op
+        # Optional (interior, boundary) degree-op pair for the halo-overlap
+        # path (ops/degree_sharded.ShardedDegreeSpMM edges="interior"/
+        # "boundary"); arrays ride batch.aux["spmm_int"]/["spmm_bnd"].
+        self.spmm_split = spmm_split
         # dst-blocked aggregation (large-V segment_sum cliff): static block
         # row count; batch.aux["blk"] carries the arrays when enabled.
         self.blk_rows = blk_rows
@@ -64,6 +68,19 @@ class GCN:
         """Overlap path: interior aggregation has no dependency on the halo
         collective that produced `ghosts`, so XLA schedules them together
         (the reference's compute/scatter overlap, pipeline.cpp)."""
+        if self.spmm_split is not None:
+            op_i, op_b = self.spmm_split
+            aux = batch.aux or {}
+            if getattr(op_i, "has_static_vals", False):
+                out_i = op_i.apply_static(aux["spmm_int"], h)
+                out_b = op_b.apply_static(aux["spmm_bnd"], ghosts)
+            else:
+                out_i = op_i.apply(aux["spmm_int"], h,
+                                   batch.val_int.astype(h.dtype))
+                out_b = op_b.apply(aux["spmm_bnd"], ghosts,
+                                   batch.val_bnd.astype(h.dtype))
+            return ((out_i + out_b).astype(h.dtype)
+                    + h * batch.self_val[:, None].astype(h.dtype))
         out_i = aggregate(h, batch.src_int, batch.dst_int, batch.val_int,
                           batch.self_val, sorted_dst=self.sorted_dst,
                           edge_chunk=self.edge_chunk)

@@ -60,20 +60,43 @@ class ShardedDegreeSpMM:
 
     def __init__(self, sharded: ShardedGraph, block: int = 16,
                  row_chunk: int = 0, gather_dtype=None,
-                 feature_dim: int = 128, static_vals: bool = False):
+                 feature_dim: int = 128, static_vals: bool = False,
+                 edges: str = "combined"):
         """static_vals: bake each shard's edge values (GCN norms; pads 0)
-        into the plans so apply_static() skips the runtime value gather."""
+        into the plans so apply_static() skips the runtime value gather.
+
+        edges: which edge set the plans cover —
+          "combined" : every shard edge; the input table is
+                       [local h | ghost rows] (vp + n*max_h rows);
+          "interior" : src-local edges only; table = local h (vp rows);
+          "boundary" : ghost-sourced edges only; table = the received
+                       ghost rows (n*max_h rows, src pre-rebased by
+                       partition_graph).
+        The interior/boundary pair is the halo-overlap path
+        (pipeline.cpp:256-286 analog): the interior pass has no data
+        dependency on the halo all_to_all, so XLA schedules them together."""
         n = sharded.n_shards
-        table = sharded.vp + n * sharded.max_h
         vp = sharded.vp
-        ep = len(sharded.shards[0].src)
-        assert all(len(s.src) == ep for s in sharded.shards), \
+        table = {"combined": vp + n * sharded.max_h,
+                 "interior": vp,
+                 "boundary": n * sharded.max_h}[edges]
+
+        def shard_edges(s):
+            if edges == "combined":
+                return s.src, s.dst, s.edge_val, s.num_edges
+            if edges == "interior":
+                return s.src_int, s.dst_int, s.val_int, s.num_int
+            return s.src_bnd, s.dst_bnd, s.val_bnd, s.num_edges - s.num_int
+
+        ep = len(shard_edges(sharded.shards[0])[0])
+        assert all(len(shard_edges(s)[0]) == ep for s in sharded.shards), \
             "shards must share a padded edge count"
 
         fwd_plans, bwd_plans = [], []
         for s in sharded.shards:
-            src = np.asarray(s.src)
-            dst = np.asarray(s.dst)
+            src_a, dst_a, val_a, nreal = shard_edges(s)
+            src = np.asarray(src_a)
+            dst = np.asarray(dst_a)
             # Shard edge arrays are dst-sorted for the REAL edges but carry
             # padding edges (val 0) at the tail pointing at vertex 0 —
             # re-sort and route runtime vals through edge_ids so pads land
@@ -96,9 +119,9 @@ class ShardedDegreeSpMM:
             # row-liveness stays a prefix and compresses to the (R,) count
             # build_degree_plan carries (see _slot_live); the assert pins
             # that invariant against future edge orderings.
-            live = np.arange(ep) < s.num_edges
+            live = np.arange(ep) < nreal
             live_ext = np.r_[live, False]
-            ve = np.r_[np.asarray(s.edge_val, np.float32), 0.0]
+            ve = np.r_[np.asarray(val_a, np.float32), 0.0]
             for p in (fwd_plans[-1], bwd_plans[-1]):
                 mask = live_ext[np.minimum(p["slot_to_edge"], ep)]
                 cnt = mask.sum(axis=1).astype(np.int32)

@@ -50,7 +50,8 @@ def _local_batch(arrs: dict, denom: float, overlap: bool
     split = {k: sq[k] for k in ("src_int", "dst_int", "val_int",
                                 "src_bnd", "dst_bnd", "val_bnd")} \
         if overlap else {}
-    aux = {"spmm": sq["spmm"]} if "spmm" in sq else None
+    aux = {k: sq[k] for k in ("spmm", "spmm_int", "spmm_bnd") if k in sq} \
+        or None
     batch = GraphBatch(
         x=sq["x"], onehot=sq["onehot"], src=sq["src"], dst=sq["dst"],
         edge_val=sq["edge_val"], self_val=sq["self_val"],
@@ -68,8 +69,10 @@ def _local_batch(arrs: dict, denom: float, overlap: bool
 def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     """Returns (step_fn, eval_fn) jitted over the mesh."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    overlap = (getattr(cfg, "overlap", True) and mesh.shape[GRAPH_AXIS] > 1
-               and cfg.kernel != "degree")
+    # Overlap applies to BOTH kernels: the degree kernel gets interior/
+    # boundary plan pairs (round 2 disabled it exactly where auto picks
+    # degree — the scale where overlap matters most).
+    overlap = getattr(cfg, "overlap", True) and mesh.shape[GRAPH_AXIS] > 1
     # A prefix spec: every arrs leaf is sharded along its leading shard axis
     # (including nested SpMM plan arrays).
     data_spec = P(GRAPH_AXIS)
@@ -222,22 +225,32 @@ class ShardedEngine:
             cfg = dataclasses.replace(cfg, kernel=kernel)
             self.cfg = cfg
         spmm_op = None
+        spmm_split = None
         stacked = self.sharded.stacked()
         if cfg.kernel == "degree":
             # Per-shard degree plans padded to uniform block-row counts.
             from dorylus_tpu.engine.engine import _max_agg_width
             from dorylus_tpu.ops.degree_sharded import ShardedDegreeSpMM
-            spmm_op = ShardedDegreeSpMM(
-                self.sharded, feature_dim=_max_agg_width(layers, cfg),
-                gather_dtype=(jnp.bfloat16 if cfg.agg_dtype == "bfloat16"
-                              else None),
-                static_vals=cfg.model == "gcn")
+            kw = dict(feature_dim=_max_agg_width(layers, cfg),
+                      gather_dtype=(jnp.bfloat16
+                                    if cfg.agg_dtype == "bfloat16" else None),
+                      static_vals=cfg.model == "gcn")
+            spmm_op = ShardedDegreeSpMM(self.sharded, **kw)
             stacked["spmm"] = spmm_op.arrays
+            if cfg.overlap and self.mesh.shape[GRAPH_AXIS] > 1:
+                # Interior/boundary plan pair: the halo-overlap path
+                # (pipeline.cpp:256-286 analog) for the degree kernel.
+                spmm_split = (
+                    ShardedDegreeSpMM(self.sharded, edges="interior", **kw),
+                    ShardedDegreeSpMM(self.sharded, edges="boundary", **kw))
+                stacked["spmm_int"] = spmm_split[0].arrays
+                stacked["spmm_bnd"] = spmm_split[1].arrays
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
-                          optimize_order=cfg.optimize_order, spmm_op=spmm_op)
+                          optimize_order=cfg.optimize_order, spmm_op=spmm_op,
+                          spmm_split=spmm_split)
                       if cfg.model == "gcn"
                       else GAT(layers, edge_chunk=cfg.edge_chunk,
-                               spmm_op=spmm_op))
+                               spmm_op=spmm_op, spmm_split=spmm_split))
         # Place each shard's block on its device (leading axis sharded).
         self.arrs = jax.tree.map(
             lambda v: jax.device_put(

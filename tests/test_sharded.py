@@ -79,16 +79,20 @@ def test_sharded_gat_matches_single_device():
         np.testing.assert_allclose(e1.loss, e2.loss, rtol=5e-4, atol=1e-6)
 
 
-def test_overlap_equals_combined_path():
+@pytest.mark.parametrize("kernel,model", [("xla", "gcn"), ("degree", "gcn"),
+                                          ("degree", "gat")])
+def test_overlap_equals_combined_path(kernel, model):
     """Interior/boundary-split aggregation (overlap=True) must match the
-    combined-table path exactly."""
+    combined-table path — for the XLA edgewise kernel AND the degree
+    kernel (round 2 disabled overlap exactly where auto selects degree)."""
     g = synthetic_graph(300, 6, 16, 4, seed=19)
     layers = LayerConfig([16, 8, 4])
-    r_ov = ShardedEngine(g, layers, TrainConfig(epochs=4, eval_every=0,
-                                                overlap=True),
+    kw = dict(epochs=4, eval_every=0, kernel=kernel, model=model)
+    if model == "gat":
+        kw["learning_rate"] = 0.003
+    r_ov = ShardedEngine(g, layers, TrainConfig(overlap=True, **kw),
                          mesh=make_mesh(4)).run()
-    r_cm = ShardedEngine(g, layers, TrainConfig(epochs=4, eval_every=0,
-                                                overlap=False),
+    r_cm = ShardedEngine(g, layers, TrainConfig(overlap=False, **kw),
                          mesh=make_mesh(4)).run()
     for a, b in zip(r_ov.epochs, r_cm.epochs):
         np.testing.assert_allclose(a.loss, b.loss, rtol=1e-5)
