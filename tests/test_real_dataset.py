@@ -1,0 +1,81 @@
+"""Real-data accuracy anchor: the vendored UCI digits kNN graph.
+
+Every other accuracy number in this repo comes from planted synthetic
+graphs that saturate trivially; this one trains on REAL data (sklearn's
+bundled UCI handwritten digits, an 8-NN similarity graph — see
+tools/make_digits_dataset.py) loaded through the reference's own bsnap
+byte formats (inputs/graphToBinary.cpp et al.), reproducing the
+reference's real-dataset correctness methodology
+(miscs/dgl-non-sampling/README:1-12) without network access.
+
+Reference bands, measured here and stable across runs (fixed seed 8888
+init, deterministic data): 2-layer GCN 64-16-10 reaches ~0.985 val /
+~0.94 test in 100 epochs; a graph-blind ridge-regression readout on the
+same features/split gets ~0.93 val — the margin shows the aggregation
+actually contributes on real data.
+"""
+
+import numpy as np
+import pytest
+
+from dorylus_tpu.common.config import LayerConfig, TrainConfig
+from dorylus_tpu.engine.engine import Engine
+from dorylus_tpu.graph.dataio import load_dataset
+from pathlib import Path
+
+DATA = Path(__file__).parent / "data" / "digits"
+
+
+@pytest.fixture(scope="module")
+def digits_graph():
+    g = load_dataset(DATA, undirected=True)
+    assert g.num_vertices == 1797 and g.num_classes == 10
+    assert g.features.shape == (1797, 64)
+    return g
+
+
+def test_gcn_real_data_accuracy(digits_graph):
+    """Full training run on real data must land in the measured band."""
+    eng = Engine(digits_graph, LayerConfig([64, 16, 10]),
+                 TrainConfig(epochs=100, eval_every=0))
+    rep = eng.run()
+    assert rep.final_accuracy >= 0.96, rep.summary()
+    assert rep.test_accuracy >= 0.90, rep.summary()
+
+
+def test_gcn_beats_graph_blind_baseline(digits_graph):
+    """The aggregation must add signal over a graph-blind linear readout
+    of the same features/split (the DGL-baseline role of miscs/, scaled
+    to what runs hermetically)."""
+    g = digits_graph
+    tr, va, _ = g.masks()
+    x = np.c_[g.features, np.ones(len(g.features), np.float32)]
+    onehot = np.eye(g.num_classes, dtype=np.float64)[g.labels]
+    xt = x[tr]
+    w = np.linalg.solve(xt.T @ xt + 1e-3 * np.eye(x.shape[1]),
+                        xt.T @ onehot[tr])
+    blind_val = float((np.argmax(x[va] @ w, 1) == g.labels[va]).mean())
+
+    eng = Engine(g, LayerConfig([64, 16, 10]),
+                 TrainConfig(epochs=100, eval_every=0))
+    rep = eng.run()
+    assert rep.final_accuracy > blind_val, (rep.final_accuracy, blind_val)
+
+
+def test_sharded_real_data_matches_single(digits_graph):
+    """The sharded engine reproduces the single-device trajectory on the
+    real graph (not just on synthetics)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    from dorylus_tpu.parallel.mesh import make_mesh
+    from dorylus_tpu.parallel.train_step import ShardedEngine
+
+    layers = LayerConfig([64, 16, 10])
+    cfg = TrainConfig(epochs=10, eval_every=0)
+    r1 = Engine(digits_graph, layers, cfg).run()
+    r2 = ShardedEngine(digits_graph, layers, cfg, mesh=make_mesh(4),
+                       partition_method="ldg").run()
+    for a, b in zip(r1.epochs, r2.epochs):
+        np.testing.assert_allclose(a.loss, b.loss, rtol=2e-4, atol=1e-6)
