@@ -4,10 +4,19 @@ Headline metric: SpMM-aggregation edges/s/chip on a Reddit-shaped graph
 (|V|=233k, ~11.6M directed edges, F=128 — the hidden dim of
 run/reddit.config), which is the reference's north-star kernel (the Gather
 phase that dominates its graph servers). The headline kernel is the
-degree-padded blocked SpMM with bf16 gather tables (--agg-bf16): the TPU
-gather is byte-rate-bound at a pattern-independent ~85 GB/s
-(tools/probe_roofline.py), so bf16 tables halve the wall; accumulation
-stays f32 and the mode is precision-tested (tests/test_degree_spmm.py).
+hybrid-ELL SpMM (ops/hyb_spmm.py: one slot row per vertex, DP-chosen
+bucket widths, no big segment_sum) with bf16 gather tables (--agg-bf16):
+the TPU gather is byte-rate-bound (tools/probe_roofline.py), so bf16
+tables halve the wall; accumulation stays f32 and the mode is
+precision-tested (tests/test_hyb_spmm.py).
+
+fraction_of_gather_bound context (round-3 finding, tools/
+probe_close_bound*.py): any XLA slot kernel = its gather bound + ONE
+~660 GB/s streaming pass over the gathered bytes (XLA's fused
+gather+reduce lowers 2x slower — it materializes an f32 convert of the
+messages — and Mosaic offers no fast scattered-row gather), so ~0.83 is
+the structural ceiling for the two-pass form; the hybrid kernel sits at
+~0.80 with the remaining gap being its output permutation.
 
 vs_baseline is measured against a scipy CSR SpMM on this host's CPU — the
 in-repo analog of the reference's CPU backend (--MODE 2, OpenBLAS whole-
@@ -104,6 +113,7 @@ def main():
 
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
     from dorylus_tpu.ops.degree_spmm import DegreeSpMM, spmm_degree
+    from dorylus_tpu.ops.hyb_spmm import HybSpMM, spmm_hyb
     from dorylus_tpu.ops.spmm import spmm_edgewise
 
     platform = jax.devices()[0].platform
@@ -126,15 +136,15 @@ def main():
     for name, gd in (("bf16", jnp.bfloat16), ("f32", None)):
         # static_val: GCN norms are per-graph constants baked into the
         # plans (the production GCN path) — no runtime value gather.
-        op = DegreeSpMM(np.asarray(g.src), np.asarray(g.dst), V, V, block=16,
-                        gather_dtype=gd, feature_dim=F_HID,
-                        static_val=np.asarray(g.edge_norm))
+        op = HybSpMM(np.asarray(g.src), np.asarray(g.dst), V, V,
+                     gather_dtype=gd, feature_dim=F_HID,
+                     static_val=np.asarray(g.edge_norm))
 
         def agg(h, fwd, gd=gd):
             # Direct forward pass (the custom-vjp wrapper measures ~20%
             # slower fwd-only via fusion differences; epochs below use the
             # full differentiable path).
-            return spmm_degree(h, fwd, V, None, gather_dtype=gd)
+            return spmm_hyb(h, fwd, V, gather_dtype=gd)
 
         dt = time_loop(agg, h, op.arrays["fwd"], iters=iters)
         results[name] = dt
@@ -145,17 +155,35 @@ def main():
 
             results["bf16_dynamic"] = time_loop(agg_dyn, h, op.arrays, val,
                                                 iters=iters)
-            # Gather-bound ceiling: a pure gather of the same slot rows at
-            # the same dtype — what the kernel would cost if the scale +
-            # reduce + final segment-sum were free.
-            slot_src = op.arrays["fwd"]["slot_src"].ravel()
+            # Gather-bound ceiling: pure gathers of the same slot rows at
+            # the same dtype — what the kernel would cost if the mask +
+            # reduce + output permutation were free.
+            fwd = op.arrays["fwd"]
+            slot_arrays = [b["rows"] for b in fwd["buckets"]]
+            if fwd["top"] is not None:
+                slot_arrays.append(fwd["top"]["rows"])
 
-            def gath(h, s):
-                return h.astype(jnp.bfloat16)[s]
+            def gath(h, *rows):
+                hb = h.astype(jnp.bfloat16)
+                acc = hb[rows[0]].ravel()[3].astype(jnp.float32)
+                for s in rows[1:]:
+                    acc = acc + hb[s].ravel()[3].astype(jnp.float32)
+                return jnp.reshape(acc, (1,))
 
-            dt_g = time_loop(gath, h, slot_src, iters=iters)
+            dt_g = time_loop(gath, h, *slot_arrays, iters=iters)
             gather_bound = E / dt_g
         del op
+
+    # Previous rounds' kernel (degree-padded blocked) for continuity.
+    dop = DegreeSpMM(np.asarray(g.src), np.asarray(g.dst), V, V, block=16,
+                     gather_dtype=jnp.bfloat16, feature_dim=F_HID,
+                     static_val=np.asarray(g.edge_norm))
+
+    def agg_deg(h, fwd):
+        return spmm_degree(h, fwd, V, None, gather_dtype=jnp.bfloat16)
+
+    dt_deg = time_loop(agg_deg, h, dop.arrays["fwd"], iters=iters)
+    del dop
 
     edges_per_s = E / results["bf16"]
 
@@ -171,19 +199,20 @@ def main():
     cpu_eps = cpu_spmm_baseline(g, np.asarray(h))
 
     # --- extras: full training epochs, Reddit config 602-128-41 ---
+    # kernel="hyb" is what auto resolves to at this scale (config.py).
     layers = LayerConfig([602, 128, 41])
     epoch_gcn = epoch_ms_warm(g, layers, TrainConfig(
-        epochs=3, eval_every=0, kernel="degree"))
+        epochs=3, eval_every=0, kernel="hyb"))
     epoch_gcn_bf16 = epoch_ms_warm(g, layers, TrainConfig(
-        epochs=3, eval_every=0, kernel="degree", agg_dtype="bfloat16"))
-    # GAT (the reference's run-reddit-gat benchmark; kernel=degree — the
-    # edgewise VJP's chunk-scan residuals exceed HBM in TPU compile at this
-    # scale, see config.py resolve_kernel).
+        epochs=3, eval_every=0, kernel="hyb", agg_dtype="bfloat16"))
+    # GAT (the reference's run-reddit-gat benchmark; a slot-grid kernel —
+    # the edgewise VJP's chunk-scan residuals exceed HBM in TPU compile at
+    # this scale, see config.py resolve_kernel).
     epoch_gat = epoch_ms_warm(g, layers, TrainConfig(
-        model="gat", epochs=3, eval_every=0, kernel="degree",
+        model="gat", epochs=3, eval_every=0, kernel="hyb",
         learning_rate=0.005))
     epoch_gat_bf16 = epoch_ms_warm(g, layers, TrainConfig(
-        model="gat", epochs=3, eval_every=0, kernel="degree",
+        model="gat", epochs=3, eval_every=0, kernel="hyb",
         learning_rate=0.005, agg_dtype="bfloat16"))
 
     print(json.dumps({
@@ -196,11 +225,13 @@ def main():
             "num_vertices": V,
             "num_edges": E,
             "feature_dim": F_HID,
-            "kernel": "degree+bf16gather+staticvals",
+            "kernel": "hyb+bf16gather+staticvals",
             "spmm_ms": round(results["bf16"] * 1e3, 3),
             "spmm_dynamic_vals_ms": round(results["bf16_dynamic"] * 1e3, 3),
             "spmm_f32_ms": round(results["f32"] * 1e3, 3),
             "spmm_f32_edges_per_s": round(E / results["f32"], 1),
+            "spmm_degree_kernel_ms": round(dt_deg * 1e3, 3),
+            "spmm_degree_kernel_edges_per_s": round(E / dt_deg, 1),
             "fraction_of_gather_bound": round(edges_per_s / gather_bound, 3),
             "gather_bound_edges_per_s": round(gather_bound, 1),
             "edgewise_spmm_ms": round(dt_ew * 1e3, 3),

@@ -126,9 +126,11 @@ class TrainConfig:
     agg_dtype: str = "float32"  # "float32" | "bfloat16"
 
     # Aggregation kernel knobs
-    kernel: str = "auto"  # "auto" (degree past 8M edges, else xla)
+    kernel: str = "auto"  # "auto" (hyb past 8M edges, else xla)
     #                       | "xla" (segment_sum)
     #                       | "degree" (degree-padded blocked, ops/degree_spmm)
+    #                       | "hyb" (hybrid ELL + chunked top, ops/hyb_spmm —
+    #                         no big segment_sum; the round-3 headline kernel)
     # (a Pallas chunk-chain kernel existed through round 2 and was deleted:
     #  it lost to `degree` even on clustered graphs — its best case — and
     #  tools/probe_roofline.py showed the XLA gather wall is index-pattern-
@@ -154,16 +156,26 @@ class TrainConfig:
 AUTO_KERNEL_EDGES = 1 << 23  # 8M
 
 
-def resolve_kernel(kernel: str, num_edges: int) -> str:
-    """Resolve kernel="auto": degree-padded blocked past 8M edges, plain
-    XLA segment_sum below. Past ~8M edges the edgewise path's chunk-scan
+def resolve_kernel(kernel: str, num_edges: int, sharded: bool = False) -> str:
+    """Resolve kernel="auto": a slot-grid kernel past 8M edges, plain XLA
+    segment_sum below. Past ~8M edges the edgewise path's chunk-scan
     saves (n_chunks, chunk, F) message residuals for the backward — at
     Reddit scale that temp exceeds v5e HBM and the TPU compile itself
-    fails (round-2 probe: tools/probe_gat_compile.py); the degree kernel
-    is also the measured ~2x faster path there."""
+    fails (round-2 probe: tools/probe_gat_compile.py); the slot-grid
+    kernels are also the measured ~2x faster paths there.
+
+    Single-device auto picks "hyb" (hybrid ELL: no big segment_sum —
+    measured 1.16-1.21x over "degree" fwd+bwd on BOTH uniform and
+    power-law degree distributions, tools/probe_hyb.py); the sharded
+    engine's stacked-plan machinery supports "degree" only, so auto maps
+    to it there (an explicit "hyb" request is likewise coerced)."""
+    if kernel == "hyb" and sharded:
+        return "degree"
     if kernel != "auto":
         return kernel
-    return "degree" if num_edges > AUTO_KERNEL_EDGES else "xla"
+    if num_edges <= AUTO_KERNEL_EDGES:
+        return "xla"
+    return "degree" if sharded else "hyb"
 
 
 @dataclass

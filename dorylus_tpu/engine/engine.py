@@ -120,22 +120,25 @@ class Engine:
             cfg = dataclasses.replace(cfg, kernel=kernel)
             self.cfg = cfg
         self.kernel_selected = kernel
-        if cfg.kernel == "degree":
-            from dorylus_tpu.ops.degree_spmm import DegreeSpMM
+        if cfg.kernel in ("degree", "hyb"):
             if cfg.agg_dtype != "bfloat16" and graph.num_vertices > 1_000_000:
                 # f32 at this scale needs the row-chunk guard (compile OOM
                 # otherwise) and lands at ~half the bf16 rate — measured
                 # matrix in benchmarks/results/largev_probe_r2.json.
                 log("hint: --agg-bf16 roughly doubles aggregation "
                     "throughput at >1M vertices (f32 must edge-chunk)")
-            spmm_op = DegreeSpMM(graph.src, graph.dst,
-                                 graph.num_vertices, graph.num_vertices,
-                                 feature_dim=_max_agg_width(layers, cfg),
-                                 gather_dtype=(jnp.bfloat16
-                                               if cfg.agg_dtype == "bfloat16"
-                                               else None),
-                                 static_val=(graph.edge_norm
-                                             if cfg.model == "gcn" else None))
+            if cfg.kernel == "hyb":
+                from dorylus_tpu.ops.hyb_spmm import HybSpMM as OpCls
+            else:
+                from dorylus_tpu.ops.degree_spmm import DegreeSpMM as OpCls
+            spmm_op = OpCls(graph.src, graph.dst,
+                            graph.num_vertices, graph.num_vertices,
+                            feature_dim=_max_agg_width(layers, cfg),
+                            gather_dtype=(jnp.bfloat16
+                                          if cfg.agg_dtype == "bfloat16"
+                                          else None),
+                            static_val=(graph.edge_norm
+                                        if cfg.model == "gcn" else None))
             aux = {"spmm": spmm_op.arrays}
         elif graph.num_vertices > 400_000:
             # Large-V segment_sum cliff (its output falls out of VMEM):

@@ -1,0 +1,445 @@
+"""Hybrid ELL SpMM — one slot row per vertex, degree-quantile bucket
+widths, chunked top bucket for hubs. The round-3 headline kernel.
+
+Replaces the reference's per-vertex CSC aggregation loop
+(src/graph-server/engine/ops/gcn_ops.cpp:130-191) like ops/degree_spmm.py,
+but with a layout that removes the degree kernel's big sorted segment_sum:
+
+  * vertices with deg <= max_width get exactly ONE slot row, whose width
+    is the smallest bucket width >= their degree. The fixed-width
+    gather -> mask/val multiply -> sum(axis=1) reduce then writes each
+    vertex's output row DIRECTLY — no (R, F) part tensor, no segment_sum
+    over ~E/block rows (measured 6-9 ms at Reddit shape,
+    tools/probe_close_bound2.py).
+  * bucket widths (multiples of 8, the sublane tile) are chosen by a tiny
+    host-side DP that minimizes  pad slots + LAMBDA * n_buckets : each
+    extra bucket is one more gather kernel with a measured ~1-2 ms
+    startup cost (tools/probe_close_bound4.py — small gathers never reach
+    the ~450 M rows/s big-gather rate), so the long tail of a power-law
+    graph merges into few buckets while a tight (uniform) degree
+    distribution splits into more.
+  * hub vertices (deg > max_width) spill into a TOP bucket of
+    max_width-wide chunk rows reduced by a short sorted segment_sum over
+    hub rows only (~E_hub/max_width rows) — the cuSPARSE-HYB shape,
+    TPU-tuned.
+  * outputs are produced bucket-by-bucket in degree order and put back
+    into vertex order by ONE inverse-permutation gather whose sentinel
+    row also zeroes isolated vertices.
+
+Measured (v5e, Reddit shape V=233k E=11.6M F=128, bf16 tables,
+tools/probe_close_bound{2,3,4}.py): uniform Poisson(50) 32.6 ms vs
+38.1 ms for the degree kernel (357 vs 305 M edges/s); the same structure
+with naive per-quantile buckets LOSES on Zipf(1.6) (46.5 vs 37.2) purely
+through per-kernel startup — hence the DP.
+
+Backward: custom VJPs in the same three flavors as ops/degree_spmm.py
+(dynamic per-edge values with fused SDDMM dval, dst-functional GAT
+attention, static GCN norms), each one pass over a transposed-graph plan.
+Plans MUST ride jit arguments (the batch pytree), never closures.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Per-bucket fixed cost in slot-equivalents for the width DP: a gather
+# kernel's startup is ~1-2 ms before it reaches the large-gather rate
+# (~450 M slot rows/s on v5e) => ~0.5-0.9 M slots. Measured sweet spot
+# between the uniform case (big buckets, startup amortized) and the
+# power-law case (many tiny tail buckets).
+_LAMBDA_SLOTS = 512 * 1024
+_MSGS_CHUNK_BYTES = 4 << 30  # scan-chunk a bucket when its (Vb, w, F)
+#                              message tensor would exceed this
+
+
+def _choose_widths(deg_sorted: np.ndarray, lam: int) -> list[int]:
+    """Bucket widths (multiples of 8) minimizing slots + lam*n_buckets
+    over vertices with the given ascending degrees (all >= 1)."""
+    wclass = ((deg_sorted + 7) // 8) * 8
+    cands, counts = np.unique(wclass, return_counts=True)
+    k = len(cands)
+    prefix = np.zeros(k + 1, np.int64)
+    np.cumsum(counts, out=prefix[1:])
+    best = np.full(k + 1, np.iinfo(np.int64).max, np.int64)
+    best[0] = 0
+    back = np.zeros(k + 1, np.int32)
+    for j in range(1, k + 1):
+        for i in range(j):
+            c = best[i] + cands[j - 1] * (prefix[j] - prefix[i]) + lam
+            if c < best[j]:
+                best[j] = c
+                back[j] = i
+    widths = []
+    j = k
+    while j > 0:
+        widths.append(int(cands[j - 1]))
+        j = int(back[j])
+    return widths[::-1]
+
+
+def _fill_rows(src, estart, verts, deg, width, edge_ids):
+    """(len(verts), width) slot grid for one-row-per-vertex buckets:
+    rows[i, :deg[v]] = src ids of v's edges, pads -> row 0 (killed by the
+    mask/val weight). Also returns the original edge id per slot
+    (sentinel E for pads) — liveness within a row is always a PREFIX."""
+    cnt = deg[verts].astype(np.int32)
+    tot = int(cnt.sum())
+    rstart = np.zeros(len(verts) + 1, np.int64)
+    np.cumsum(cnt, out=rstart[1:])
+    ridx = np.repeat(np.arange(len(verts)), cnt)
+    cidx = np.arange(tot) - rstart[ridx]
+    eidx = estart[verts][ridx] + cidx
+    rows = np.zeros((len(verts), width), np.int32)
+    rows[ridx, cidx] = src[eidx]
+    s2e = np.full((len(verts), width), len(src), np.int64)
+    s2e[ridx, cidx] = edge_ids[eidx]
+    return rows, cnt, s2e, (ridx, cidx, eidx)
+
+
+def build_hyb_plan(src: np.ndarray, dst: np.ndarray,
+                   edge_ids: np.ndarray | None, num_out: int,
+                   max_width: int = 512,
+                   lam_slots: int = _LAMBDA_SLOTS,
+                   static_val: np.ndarray | None = None) -> dict:
+    """Host-side plan. Requires dst ascending (CSC order). edge_ids maps
+    this edge order to original edge ids (identity for the forward plan,
+    the transpose permutation for the backward plan)."""
+    e = len(src)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if edge_ids is None:
+        edge_ids = np.arange(e, dtype=np.int64)
+    deg = np.bincount(dst, minlength=num_out)
+    estart = np.zeros(num_out + 1, np.int64)
+    np.cumsum(deg, out=estart[1:])
+    order = np.argsort(deg, kind="stable")
+    deg_s = deg[order]
+    first = int(np.searchsorted(deg_s, 1))  # skip isolated vertices
+    active, deg_a = order[first:], deg_s[first:]
+    hub_lo = int(np.searchsorted(deg_a, max_width, side="right"))
+    normal, hubs = active[:hub_lo], active[hub_lo:]
+    deg_n = deg_a[:hub_lo]
+    sv = None
+    if static_val is not None:
+        sv = np.asarray(static_val, np.float32)
+
+    buckets = []
+    slot_off = 0
+    e2s = np.zeros(max(1, e), np.int64)
+    lo = 0
+    for w in (_choose_widths(deg_n, lam_slots) if len(deg_n) else []):
+        hi = int(np.searchsorted(deg_n, w, side="right"))
+        verts = normal[lo:hi]
+        lo = hi
+        if len(verts) == 0:
+            continue
+        rows, cnt, s2e, (ridx, cidx, eidx) = _fill_rows(
+            src, estart, verts, deg, w, edge_ids)
+        b = {"rows": rows, "cnt": cnt, "v": verts.astype(np.int32),
+             "s2e": s2e.astype(np.int32)}
+        if sv is not None:
+            vals = np.zeros(rows.shape, np.float32)
+            vals[ridx, cidx] = sv[edge_ids[eidx]]
+            b["vals"] = vals
+        e2s[edge_ids[eidx]] = slot_off + ridx * w + cidx
+        slot_off += rows.size
+        buckets.append(b)
+
+    top = None
+    if len(hubs):
+        nrow = -(-deg[hubs] // max_width)
+        rt = int(nrow.sum())
+        rows = np.zeros((rt, max_width), np.int32)
+        s2e = np.full((rt, max_width), e, np.int64)
+        cnt = np.full(rt, max_width, np.int32)
+        rowv = np.repeat(np.arange(len(hubs), dtype=np.int32), nrow)
+        rowv_global = hubs[rowv].astype(np.int32)
+        # Per-hub fill loop (hub count is small by construction: only
+        # vertices with deg > max_width land here).
+        r0 = 0
+        vals = np.zeros((rt, max_width), np.float32) if sv is not None else None
+        for i, vtx in enumerate(hubs):
+            d = int(deg[vtx])
+            ed = np.arange(estart[vtx], estart[vtx] + d)
+            nr = -(-d // max_width)
+            pad = nr * max_width - d
+            rows[r0:r0 + nr] = np.pad(src[ed], (0, pad)).reshape(nr, max_width)
+            se = np.pad(edge_ids[ed], (0, pad), constant_values=e)
+            s2e[r0:r0 + nr] = se.reshape(nr, max_width)
+            if d % max_width:
+                cnt[r0 + nr - 1] = d % max_width
+            if sv is not None:
+                vals[r0:r0 + nr] = np.pad(
+                    sv[edge_ids[ed]], (0, pad)).reshape(nr, max_width)
+            flat = slot_off + r0 * max_width + np.arange(d)
+            e2s[edge_ids[ed]] = flat
+            r0 += nr
+        top = {"rows": rows, "cnt": cnt, "rowv": rowv,
+               "rowv_global": rowv_global, "v": hubs.astype(np.int32),
+               "s2e": s2e.astype(np.int32)}
+        if sv is not None:
+            top["vals"] = vals
+        slot_off += rows.size
+
+    # Output layout: [buckets..., hubs, zero row]; inv: vertex -> position.
+    n_active = sum(len(b["v"]) for b in buckets) + (len(hubs) if top else 0)
+    inv = np.full(num_out, n_active, np.int64)
+    pos = 0
+    for b in buckets:
+        inv[b["v"]] = np.arange(pos, pos + len(b["v"]))
+        pos += len(b["v"])
+    if top is not None:
+        inv[top["v"]] = np.arange(pos, pos + len(top["v"]))
+    return {"buckets": tuple(buckets), "top": top,
+            "inv": inv.astype(np.int32), "e2s": e2s.astype(np.int32),
+            "n_slots": slot_off}
+
+
+def _weights(part, mode, msgs_dtype, val_ext):
+    """(rows, w) slot weights for one bucket in the msgs dtype."""
+    rows = part["rows"]
+    if mode == "static":
+        return part["vals"].astype(msgs_dtype)
+    if mode == "mask":
+        w = rows.shape[1]
+        return (jax.lax.iota(jnp.int32, w)[None, :]
+                < part["cnt"][:, None]).astype(msgs_dtype)
+    return val_ext[part["s2e"]].astype(msgs_dtype)  # dynamic
+
+
+def _reduce_part(tb, part, mode, val_ext, narrow, other_rows):
+    """gather -> weight multiply -> sum(axis=1) for one bucket/top part.
+    Returns (out (rows, F) f32, dv (rows, w) f32 | None). Scan-chunks the
+    row dim when the message tensor would exceed _MSGS_CHUNK_BYTES."""
+    rows = part["rows"]
+    nb, w = rows.shape
+    f = tb.shape[1]
+    itemsize = 2 if narrow else 4
+    chunk = 0
+    if nb * w * max(f, 128) * itemsize > _MSGS_CHUNK_BYTES:
+        chunk = max(8, (_MSGS_CHUNK_BYTES // (w * max(f, 128) * itemsize))
+                    // 8 * 8)
+
+    def reduce_rows(s, wt, hb):
+        msgs = tb[s]
+        if not narrow:
+            msgs = msgs.astype(jnp.float32)
+        prod = msgs * wt[..., None]
+        out = prod.sum(axis=1, dtype=jnp.float32)
+        dv = None
+        if hb is not None:
+            dv = (msgs * hb[:, None, :].astype(msgs.dtype)).sum(
+                -1, dtype=jnp.float32)
+        return out, dv
+
+    wt_full = _weights(part, mode, tb.dtype if narrow else jnp.float32,
+                       val_ext)
+    if chunk and nb > chunk:
+        n = -(-nb // chunk)
+        pad = n * chunk - nb
+        pieces = [jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+                  .reshape((n, chunk) + x.shape[1:])
+                  for x in ((rows, wt_full)
+                            + (() if other_rows is None else (other_rows,)))]
+
+        def body(_, ch):
+            return None, reduce_rows(ch[0], ch[1],
+                                     ch[2] if len(ch) > 2 else None)
+
+        _, (outs, dvs) = jax.lax.scan(body, None, tuple(pieces))
+        out = outs.reshape(n * chunk, -1)[:nb]
+        dv = None if dvs is None else dvs.reshape(n * chunk, -1)[:nb]
+        return out, dv
+    return reduce_rows(rows, wt_full, other_rows)
+
+
+def _hyb_pass(h_table, plan, num_out, mode, val=None, gather_dtype=None,
+              other=None):
+    """out[v] = sum_{e: dst e = v} weight(e) * h_table[src e] over a
+    build_hyb_plan layout. mode: "static" (plan-baked values), "mask"
+    (unit weights on live slots), "dynamic" (per-edge val).
+
+    With `other`, also returns dval[e] = <h_table[slot of e],
+    other[row-vertex of e]> in original edge order (fused SDDMM backward):
+    the dv slot grids are raveled in global slot order and pulled back
+    through plan["e2s"]."""
+    narrow = gather_dtype is not None and jnp.dtype(gather_dtype).itemsize < 4
+    tb = h_table if gather_dtype is None else h_table.astype(gather_dtype)
+    val_ext = None
+    if mode == "dynamic":
+        val_ext = jnp.concatenate([val.astype(jnp.float32),
+                                   jnp.zeros((1,), jnp.float32)])
+    outs, dvs = [], []
+    for b in plan["buckets"]:
+        orows = None if other is None else other[b["v"]]
+        out, dv = _reduce_part(tb, b, mode, val_ext, narrow, orows)
+        outs.append(out)
+        dvs.append(dv)
+    top = plan["top"]
+    if top is not None:
+        orows = None if other is None else other[top["rowv_global"]]
+        part, dv = _reduce_part(tb, top, mode, val_ext, narrow, orows)
+        n_hubs = top["v"].shape[0]
+        outs.append(jax.ops.segment_sum(part, top["rowv"],
+                                        num_segments=n_hubs,
+                                        indices_are_sorted=True))
+        dvs.append(dv)
+    f = h_table.shape[1]
+    cat = jnp.concatenate(outs + [jnp.zeros((1, f), jnp.float32)])
+    out = cat[plan["inv"]]
+    if other is None:
+        return out
+    if not dvs:
+        return out, jnp.zeros((0,), jnp.float32)
+    flat = jnp.concatenate([d.ravel() for d in dvs])
+    dval = flat[plan["e2s"]]
+    return out, dval
+
+
+# ---- custom-VJP wrappers (static = (num_in, num_out, gather_dtype, E)) ----
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hyb_spmm_apply(static, arrs, h, val):
+    """Dynamic per-edge values, differentiable in h and val."""
+    _, num_out, gdt, _ = static
+    return _hyb_pass(h, arrs["fwd"], num_out, "dynamic", val, gdt)
+
+
+def _apply_fwd(static, arrs, h, val):
+    return hyb_spmm_apply(static, arrs, h, val), (arrs, h, val)
+
+
+def _apply_bwd(static, res, gout):
+    arrs, h, val = res
+    num_in, _, gdt, _ = static
+    # One pass over the transposed plan: slots gather gout[dst e] for dh;
+    # dval[e] = <h[src e], gout[dst e]> reuses the gathered messages
+    # against h[row vertex] (fused SDDMM) — exactly the degree kernel's
+    # backward shape (gat_ops.cpp:222-241 computes its attention backward
+    # in one fused sweep too).
+    dh_full, dval = _hyb_pass(gout, arrs["bwd"], num_in, "dynamic", val, gdt,
+                              other=h)
+    dh = dh_full[: h.shape[0]].astype(h.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh, dval[: val.shape[0]].astype(val.dtype)
+
+
+hyb_spmm_apply.defvjp(_apply_fwd, _apply_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hyb_spmm_dst_apply(static, arrs, h, dst_val):
+    """Edge weight = dst_val[dst e] (Dorylus GAT attention,
+    funcs/gat/ops/forward_ops.cpp:109-141): the weight factors out of each
+    destination's sum, so the kernel runs unit-weight (mask) passes and
+    scales rows at vertex granularity — no per-edge value arrays."""
+    _, num_out, gdt, _ = static
+    u = _hyb_pass(h, arrs["fwd"], num_out, "mask", None, gdt)
+    return u * dst_val.astype(jnp.float32)[:, None]
+
+
+def _dst_fwd(static, arrs, h, dst_val):
+    _, num_out, gdt, _ = static
+    u = _hyb_pass(h, arrs["fwd"], num_out, "mask", None, gdt)
+    out = u * dst_val.astype(jnp.float32)[:, None]
+    return out, (arrs, dst_val, u, h)
+
+
+def _dst_bwd(static, res, gout):
+    arrs, dst_val, u, h = res
+    num_in, _, gdt, _ = static
+    gscaled = gout.astype(jnp.float32) * dst_val.astype(jnp.float32)[:, None]
+    dh_full = _hyb_pass(gscaled, arrs["bwd"], num_in, "mask", None, gdt)
+    dh = dh_full[: h.shape[0]].astype(h.dtype)
+    d_dst = (u * gout.astype(jnp.float32)).sum(-1).astype(dst_val.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh, d_dst
+
+
+hyb_spmm_dst_apply.defvjp(_dst_fwd, _dst_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hyb_spmm_static_apply(static, arrs, h):
+    """Construction-time edge values (GCN norms) baked into the plans —
+    no runtime value gather (tools/probe_static_vals.py)."""
+    _, num_out, gdt, _ = static
+    return _hyb_pass(h, arrs["fwd"], num_out, "static", None, gdt)
+
+
+def _static_fwd(static, arrs, h):
+    return hyb_spmm_static_apply(static, arrs, h), (arrs, h)
+
+
+def _static_bwd(static, res, gout):
+    arrs, h = res
+    num_in, _, gdt, _ = static
+    dh_full = _hyb_pass(gout, arrs["bwd"], num_in, "static", None, gdt)
+    dh = dh_full[: h.shape[0]].astype(h.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh
+
+
+hyb_spmm_static_apply.defvjp(_static_fwd, _static_bwd)
+
+
+def spmm_hyb(h_table, plan, num_out, gather_dtype=None):
+    """Forward-only static-vals pass (bench/profiling; the custom-vjp
+    wrapper costs ~20% in fwd-only microbenches through fusion changes)."""
+    return _hyb_pass(h_table, plan, num_out, "static", None, gather_dtype)
+
+
+class HybSpMM:
+    """Same protocol as ops.degree_spmm.DegreeSpMM: `.arrays` rides jit
+    arguments (the batch pytree); apply/apply_dst/apply_static dispatch.
+    num_in may exceed h's rows (halo tables); dh is truncated to h's rows.
+    """
+
+    def __init__(self, src, dst, num_in: int, num_out: int,
+                 max_width: int = 512, gather_dtype=None,
+                 feature_dim: int = 128, static_val=None,
+                 lam_slots: int = _LAMBDA_SLOTS):
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+        e = len(src)
+        assert e == 0 or (np.diff(dst) >= 0).all(), "edges must be dst-sorted"
+        order = np.argsort(src, kind="stable")
+        self.num_in, self.num_out = num_in, num_out
+        self.has_static_vals = static_val is not None
+        fwd = build_hyb_plan(src, dst, None, num_out, max_width, lam_slots,
+                             static_val)
+        bwd = build_hyb_plan(dst[order], src[order], order, num_in,
+                             max_width, lam_slots, static_val)
+        self.n_slots = fwd["n_slots"] + bwd["n_slots"]
+        for p in (fwd, bwd):
+            p.pop("n_slots")
+        self.arrays = {
+            "fwd": jax.tree.map(jnp.asarray, fwd),
+            "bwd": jax.tree.map(jnp.asarray, bwd),
+        }
+        self.static = (num_in, num_out,
+                       None if gather_dtype is None
+                       else jnp.dtype(gather_dtype), e)
+
+    def apply(self, arrays, h, val):
+        return hyb_spmm_apply(self.static, arrays, h, val)
+
+    def apply_dst(self, arrays, h, dst_val):
+        return hyb_spmm_dst_apply(self.static, arrays, h, dst_val)
+
+    def apply_static(self, arrays, h):
+        return hyb_spmm_static_apply(self.static, arrays, h)
+
+    def __call__(self, h, val):
+        return hyb_spmm_apply(self.static, self.arrays, h, val)

@@ -218,7 +218,8 @@ class ShardedEngine:
             self.cfg = cfg
             log("auto edge_chunk=4M for %d edges/shard", self.sharded.ep)
         from dorylus_tpu.common.config import resolve_kernel
-        kernel = resolve_kernel(cfg.kernel, self.sharded.ep)  # per-chip E
+        kernel = resolve_kernel(cfg.kernel, self.sharded.ep,
+                                sharded=True)  # per-chip E
         if kernel != cfg.kernel:
             import dataclasses
             log("kernel auto -> %s (%d edges/shard)", kernel, self.sharded.ep)
