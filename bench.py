@@ -125,6 +125,12 @@ def main():
     iters = 10 if on_tpu else 3
 
     g = build_graph(V, DEG, 602, 41, seed=1)
+    # Production preprocessing: ascending-degree renumbering makes the hyb
+    # kernel's bucket layout the identity permutation (no output (V, F)
+    # gather; cli.py --reorder degree-asc). The split keeps following
+    # original indices via split_ids.
+    from dorylus_tpu.graph.reorder import apply_order, degree_order
+    g = apply_order(g, degree_order(g, ascending=True))
     E = g.num_edges
 
     # --- headline: SpMM aggregation at hidden width ---
@@ -140,11 +146,13 @@ def main():
                      gather_dtype=gd, feature_dim=F_HID,
                      static_val=np.asarray(g.edge_norm))
 
-        def agg(h, fwd, gd=gd):
+        n_iso = op.static[4]
+
+        def agg(h, fwd, gd=gd, n_iso=n_iso):
             # Direct forward pass (the custom-vjp wrapper measures ~20%
             # slower fwd-only via fusion differences; epochs below use the
             # full differentiable path).
-            return spmm_hyb(h, fwd, V, gather_dtype=gd)
+            return spmm_hyb(h, fwd, V, gather_dtype=gd, n_iso=n_iso)
 
         dt = time_loop(agg, h, op.arrays["fwd"], iters=iters)
         results[name] = dt
@@ -225,7 +233,7 @@ def main():
             "num_vertices": V,
             "num_edges": E,
             "feature_dim": F_HID,
-            "kernel": "hyb+bf16gather+staticvals",
+            "kernel": "hyb+bf16gather+staticvals+degsort",
             "spmm_ms": round(results["bf16"] * 1e3, 3),
             "spmm_dynamic_vals_ms": round(results["bf16_dynamic"] * 1e3, 3),
             "spmm_f32_ms": round(results["f32"] * 1e3, 3),

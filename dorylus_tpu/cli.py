@@ -41,19 +41,22 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "streaming greedy, the METIS stand-in — use it on "
                         "real graphs to shrink halo traffic)")
     p.add_argument("--reorder", default="none",
-                   choices=["none", "bfs", "degree"],
+                   choices=["none", "bfs", "degree", "degree-asc"],
                    help="relabel vertices before training (bfs = RCM-like "
-                        "locality order). Shrinks the RANGE partitioner's "
-                        "edge-cut on locality-rich graphs; does not speed "
-                        "single-chip aggregation (the XLA gather is index-"
-                        "pattern-independent, tools/probe_roofline.py)")
+                        "locality order; degree-asc = ascending in-degree, "
+                        "which makes the hyb kernel's output permutation "
+                        "the identity). bfs shrinks the RANGE partitioner's "
+                        "edge-cut on locality-rich graphs; none of these "
+                        "speed the gather itself (it is index-pattern-"
+                        "independent, tools/probe_roofline.py)")
     p.add_argument("--parts-file", default=None,
                    help="METIS-style parts file (with --partition metis)")
     p.add_argument("--edge-chunk", type=int, default=0)
     p.add_argument("--kernel", default="auto",
-                   choices=["auto", "xla", "degree"],
-                   help="aggregation kernel (auto = degree past 8M edges "
-                        "else xla; degree = degree-padded blocked)")
+                   choices=["auto", "xla", "degree", "hyb"],
+                   help="aggregation kernel (auto = hyb past 8M edges "
+                        "else xla; hyb = hybrid ELL, degree = degree-"
+                        "padded blocked; sharded runs coerce hyb->degree)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--agg-bf16", action="store_true",
                    help="gather aggregation tables in bfloat16 (f32 "
@@ -140,7 +143,8 @@ def cmd_train(args) -> int:
     if args.reorder != "none":
         from dorylus_tpu.graph import reorder as _ro
         order = (_ro.bfs_order(g) if args.reorder == "bfs"
-                 else _ro.degree_order(g))
+                 else _ro.degree_order(g,
+                                       ascending=args.reorder == "degree-asc"))
         g = _ro.apply_order(g, order)
         log("reordered vertices (%s)", args.reorder)
 
@@ -258,7 +262,7 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--model", default="gcn", choices=["gcn", "gat"])
     p.add_argument("--kernel", default="auto",
-                   choices=["auto", "xla", "degree"])
+                   choices=["auto", "xla", "degree", "hyb"])
     p.add_argument("--out", required=True, help="per-vertex output file")
     p.add_argument("--softmax", action="store_true",
                    help="write class probabilities instead of raw logits")

@@ -83,9 +83,14 @@ def bfs_order(g: Graph, seed: int = 0) -> np.ndarray:
     return order
 
 
-def degree_order(g: Graph) -> np.ndarray:
-    """Descending-degree ordering (hub clustering)."""
-    return np.argsort(-g.in_degree, kind="stable")
+def degree_order(g: Graph, ascending: bool = False) -> np.ndarray:
+    """Degree ordering. Descending clusters hubs; ASCENDING makes the
+    hybrid-ELL kernel's bucket layout the identity permutation
+    (ops/hyb_spmm.py build_hyb_plan "_n_iso"), dropping its output
+    (V, F) gather — on undirected graphs (in-deg == out-deg) the forward
+    AND backward plans both collapse."""
+    key = g.in_degree if ascending else -g.in_degree
+    return np.argsort(key, kind="stable")
 
 
 def apply_order(g: Graph, order: np.ndarray) -> Graph:

@@ -186,17 +186,28 @@ def build_hyb_plan(src: np.ndarray, dst: np.ndarray,
         slot_off += rows.size
 
     # Output layout: [buckets..., hubs, zero row]; inv: vertex -> position.
-    n_active = sum(len(b["v"]) for b in buckets) + (len(hubs) if top else 0)
-    inv = np.full(num_out, n_active, np.int64)
-    pos = 0
-    for b in buckets:
-        inv[b["v"]] = np.arange(pos, pos + len(b["v"]))
-        pos += len(b["v"])
-    if top is not None:
-        inv[top["v"]] = np.arange(pos, pos + len(top["v"]))
-    return {"buckets": tuple(buckets), "top": top,
-            "inv": inv.astype(np.int32), "e2s": e2s.astype(np.int32),
-            "n_slots": slot_off}
+    # When vertices are ALREADY numbered by ascending degree (the
+    # degree-sort preprocessing, graph/reorder.py degree_order
+    # ascending=True), the stable degree argsort is the identity, bucket
+    # outputs land in vertex order, and the inverse-permutation gather
+    # collapses to a zero-row prefix for the isolated vertices — plan
+    # carries "_n_iso" instead of "inv" (saves a (V, F) gather per pass;
+    # undirected graphs get it on BOTH plans since in-deg == out-deg).
+    plan = {"buckets": tuple(buckets), "top": top,
+            "e2s": e2s.astype(np.int32), "n_slots": slot_off}
+    if np.array_equal(order, np.arange(num_out)):
+        plan["_n_iso"] = first
+    else:
+        n_active = sum(len(b["v"]) for b in buckets) + (len(hubs) if top else 0)
+        inv = np.full(num_out, n_active, np.int64)
+        pos = 0
+        for b in buckets:
+            inv[b["v"]] = np.arange(pos, pos + len(b["v"]))
+            pos += len(b["v"])
+        if top is not None:
+            inv[top["v"]] = np.arange(pos, pos + len(top["v"]))
+        plan["inv"] = inv.astype(np.int32)
+    return plan
 
 
 def _weights(part, mode, msgs_dtype, val_ext):
@@ -258,10 +269,14 @@ def _reduce_part(tb, part, mode, val_ext, narrow, other_rows):
 
 
 def _hyb_pass(h_table, plan, num_out, mode, val=None, gather_dtype=None,
-              other=None):
+              other=None, n_iso=None):
     """out[v] = sum_{e: dst e = v} weight(e) * h_table[src e] over a
     build_hyb_plan layout. mode: "static" (plan-baked values), "mask"
     (unit weights on live slots), "dynamic" (per-edge val).
+
+    n_iso (static int): the identity-permutation fast path for
+    degree-sorted graphs — bucket outputs are already in vertex order
+    after n_iso isolated (zero) rows, so no "inv" gather runs.
 
     With `other`, also returns dval[e] = <h_table[slot of e],
     other[row-vertex of e]> in original edge order (fused SDDMM backward):
@@ -289,8 +304,13 @@ def _hyb_pass(h_table, plan, num_out, mode, val=None, gather_dtype=None,
                                         indices_are_sorted=True))
         dvs.append(dv)
     f = h_table.shape[1]
-    cat = jnp.concatenate(outs + [jnp.zeros((1, f), jnp.float32)])
-    out = cat[plan["inv"]]
+    if n_iso is not None:
+        pieces = ([jnp.zeros((n_iso, f), jnp.float32)] if n_iso else []) + outs
+        out = (jnp.concatenate(pieces) if pieces
+               else jnp.zeros((num_out, f), jnp.float32))
+    else:
+        cat = jnp.concatenate(outs + [jnp.zeros((1, f), jnp.float32)])
+        out = cat[plan["inv"]]
     if other is None:
         return out
     if not dvs:
@@ -300,14 +320,16 @@ def _hyb_pass(h_table, plan, num_out, mode, val=None, gather_dtype=None,
     return out, dval
 
 
-# ---- custom-VJP wrappers (static = (num_in, num_out, gather_dtype, E)) ----
+# ---- custom-VJP wrappers ----
+# static = (num_in, num_out, gather_dtype, E, n_iso_fwd, n_iso_bwd) — the
+# last two are the identity-permutation markers (None = use plan["inv"]).
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def hyb_spmm_apply(static, arrs, h, val):
     """Dynamic per-edge values, differentiable in h and val."""
-    _, num_out, gdt, _ = static
-    return _hyb_pass(h, arrs["fwd"], num_out, "dynamic", val, gdt)
+    _, num_out, gdt, _, ni, _ = static
+    return _hyb_pass(h, arrs["fwd"], num_out, "dynamic", val, gdt, n_iso=ni)
 
 
 def _apply_fwd(static, arrs, h, val):
@@ -316,14 +338,14 @@ def _apply_fwd(static, arrs, h, val):
 
 def _apply_bwd(static, res, gout):
     arrs, h, val = res
-    num_in, _, gdt, _ = static
+    num_in, _, gdt, _, _, nib = static
     # One pass over the transposed plan: slots gather gout[dst e] for dh;
     # dval[e] = <h[src e], gout[dst e]> reuses the gathered messages
     # against h[row vertex] (fused SDDMM) — exactly the degree kernel's
     # backward shape (gat_ops.cpp:222-241 computes its attention backward
     # in one fused sweep too).
     dh_full, dval = _hyb_pass(gout, arrs["bwd"], num_in, "dynamic", val, gdt,
-                              other=h)
+                              other=h, n_iso=nib)
     dh = dh_full[: h.shape[0]].astype(h.dtype)
     d_arrs = jax.tree.map(
         lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
@@ -340,23 +362,24 @@ def hyb_spmm_dst_apply(static, arrs, h, dst_val):
     funcs/gat/ops/forward_ops.cpp:109-141): the weight factors out of each
     destination's sum, so the kernel runs unit-weight (mask) passes and
     scales rows at vertex granularity — no per-edge value arrays."""
-    _, num_out, gdt, _ = static
-    u = _hyb_pass(h, arrs["fwd"], num_out, "mask", None, gdt)
+    _, num_out, gdt, _, ni, _ = static
+    u = _hyb_pass(h, arrs["fwd"], num_out, "mask", None, gdt, n_iso=ni)
     return u * dst_val.astype(jnp.float32)[:, None]
 
 
 def _dst_fwd(static, arrs, h, dst_val):
-    _, num_out, gdt, _ = static
-    u = _hyb_pass(h, arrs["fwd"], num_out, "mask", None, gdt)
+    _, num_out, gdt, _, ni, _ = static
+    u = _hyb_pass(h, arrs["fwd"], num_out, "mask", None, gdt, n_iso=ni)
     out = u * dst_val.astype(jnp.float32)[:, None]
     return out, (arrs, dst_val, u, h)
 
 
 def _dst_bwd(static, res, gout):
     arrs, dst_val, u, h = res
-    num_in, _, gdt, _ = static
+    num_in, _, gdt, _, _, nib = static
     gscaled = gout.astype(jnp.float32) * dst_val.astype(jnp.float32)[:, None]
-    dh_full = _hyb_pass(gscaled, arrs["bwd"], num_in, "mask", None, gdt)
+    dh_full = _hyb_pass(gscaled, arrs["bwd"], num_in, "mask", None, gdt,
+                        n_iso=nib)
     dh = dh_full[: h.shape[0]].astype(h.dtype)
     d_dst = (u * gout.astype(jnp.float32)).sum(-1).astype(dst_val.dtype)
     d_arrs = jax.tree.map(
@@ -372,8 +395,8 @@ hyb_spmm_dst_apply.defvjp(_dst_fwd, _dst_bwd)
 def hyb_spmm_static_apply(static, arrs, h):
     """Construction-time edge values (GCN norms) baked into the plans —
     no runtime value gather (tools/probe_static_vals.py)."""
-    _, num_out, gdt, _ = static
-    return _hyb_pass(h, arrs["fwd"], num_out, "static", None, gdt)
+    _, num_out, gdt, _, ni, _ = static
+    return _hyb_pass(h, arrs["fwd"], num_out, "static", None, gdt, n_iso=ni)
 
 
 def _static_fwd(static, arrs, h):
@@ -382,8 +405,9 @@ def _static_fwd(static, arrs, h):
 
 def _static_bwd(static, res, gout):
     arrs, h = res
-    num_in, _, gdt, _ = static
-    dh_full = _hyb_pass(gout, arrs["bwd"], num_in, "static", None, gdt)
+    num_in, _, gdt, _, _, nib = static
+    dh_full = _hyb_pass(gout, arrs["bwd"], num_in, "static", None, gdt,
+                        n_iso=nib)
     dh = dh_full[: h.shape[0]].astype(h.dtype)
     d_arrs = jax.tree.map(
         lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
@@ -394,10 +418,12 @@ def _static_bwd(static, res, gout):
 hyb_spmm_static_apply.defvjp(_static_fwd, _static_bwd)
 
 
-def spmm_hyb(h_table, plan, num_out, gather_dtype=None):
+def spmm_hyb(h_table, plan, num_out, gather_dtype=None, n_iso=None):
     """Forward-only static-vals pass (bench/profiling; the custom-vjp
-    wrapper costs ~20% in fwd-only microbenches through fusion changes)."""
-    return _hyb_pass(h_table, plan, num_out, "static", None, gather_dtype)
+    wrapper costs ~20% in fwd-only microbenches through fusion changes).
+    n_iso: pass op.static[4] when the plan was built degree-sorted."""
+    return _hyb_pass(h_table, plan, num_out, "static", None, gather_dtype,
+                     n_iso=n_iso)
 
 
 class HybSpMM:
@@ -424,13 +450,14 @@ class HybSpMM:
         self.n_slots = fwd["n_slots"] + bwd["n_slots"]
         for p in (fwd, bwd):
             p.pop("n_slots")
+        n_iso = (fwd.pop("_n_iso", None), bwd.pop("_n_iso", None))
         self.arrays = {
             "fwd": jax.tree.map(jnp.asarray, fwd),
             "bwd": jax.tree.map(jnp.asarray, bwd),
         }
         self.static = (num_in, num_out,
                        None if gather_dtype is None
-                       else jnp.dtype(gather_dtype), e)
+                       else jnp.dtype(gather_dtype), e) + n_iso
 
     def apply(self, arrays, h, val):
         return hyb_spmm_apply(self.static, arrays, h, val)

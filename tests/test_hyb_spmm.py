@@ -231,3 +231,70 @@ def test_hyb_engine_gat():
     r_h = Engine(g, layers, TrainConfig(**cfg, kernel="hyb")).run()
     for ex, eh in zip(r_x.epochs, r_h.epochs):
         np.testing.assert_allclose(ex.loss, eh.loss, rtol=1e-3, atol=1e-6)
+
+
+def test_degree_sorted_identity_path():
+    """Ascending-degree renumbering makes the plan's output permutation
+    the identity ("_n_iso" static); results must match the gather path
+    exactly — fwd, grads, and all three apply flavors."""
+    from dorylus_tpu.graph.graph import synthetic_graph
+    from dorylus_tpu.graph.reorder import apply_order, degree_order
+
+    g0 = synthetic_graph(300, 6, 8, 4, seed=51)
+    g = apply_order(g0, degree_order(g0, ascending=True))
+    v = g.num_vertices
+    op = HybSpMM(g.src, g.dst, v, v, lam_slots=64)
+    # synthetic_graph is undirected: BOTH plans collapse to identity.
+    assert op.static[4] is not None and op.static[5] is not None
+    assert "inv" not in op.arrays["fwd"]
+    rng = np.random.default_rng(0)
+    h = rng.normal(0, 1, (v, 8)).astype(np.float32)
+    val = rng.normal(0, 1, g.num_edges).astype(np.float32)
+    ref = _oracle(np.asarray(g.src), np.asarray(g.dst), val, h, v)
+    hj, vj = jnp.asarray(h), jnp.asarray(val)
+    np.testing.assert_allclose(np.asarray(op(hj, vj)), ref,
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_hyb(hh, vv):
+        return (op.apply(op.arrays, hh, vv) ** 2).sum()
+
+    def loss_ew(hh, vv):
+        return (spmm_edgewise(hh, jnp.asarray(g.src), jnp.asarray(g.dst),
+                              vv, v, sorted_dst=True) ** 2).sum()
+
+    gh = jax.grad(loss_hyb, argnums=(0, 1))(hj, vj)
+    ge = jax.grad(loss_ew, argnums=(0, 1))(hj, vj)
+    np.testing.assert_allclose(np.asarray(gh[0]), np.asarray(ge[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(ge[1]),
+                               rtol=1e-4, atol=1e-4)
+
+    # dst-functional and static flavors through the identity path.
+    dv = jnp.asarray(rng.normal(0, 1, v).astype(np.float32))
+    att = dv[jnp.asarray(g.dst)]
+    np.testing.assert_allclose(
+        np.asarray(op.apply_dst(op.arrays, hj, dv)),
+        np.asarray(op.apply(op.arrays, hj, att)), rtol=1e-4, atol=1e-4)
+    sta = HybSpMM(g.src, g.dst, v, v, lam_slots=64, static_val=val)
+    np.testing.assert_allclose(
+        np.asarray(sta.apply_static(sta.arrays, hj)), ref,
+        rtol=1e-4, atol=1e-4)
+
+
+def test_degree_sorted_engine_matches_unsorted():
+    """Engine-level: training on the degree-asc-renumbered graph gives the
+    same loss trajectory (params are vertex-order-independent: the loss
+    sums over vertices and the split follows split_ids)."""
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.graph.graph import synthetic_graph
+    from dorylus_tpu.graph.reorder import apply_order, degree_order
+
+    g0 = synthetic_graph(300, 6, 16, 4, seed=53)
+    g1 = apply_order(g0, degree_order(g0, ascending=True))
+    layers = LayerConfig([16, 8, 4])
+    cfg = TrainConfig(epochs=4, eval_every=0, kernel="hyb")
+    r0 = Engine(g0, layers, cfg).run()
+    r1 = Engine(g1, layers, cfg).run()
+    for a, b in zip(r0.epochs, r1.epochs):
+        np.testing.assert_allclose(a.loss, b.loss, rtol=1e-4, atol=1e-6)
