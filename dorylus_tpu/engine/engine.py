@@ -209,47 +209,63 @@ class Engine:
         # initialized with S+1 copies of the start params reproduces the
         # growing-deque semantics exactly; S=0 degenerates to synchronous
         # training (grad at current params) with zero overhead.
-        def multi_step(params, opt_state, history, batch, lrs, flags):
-            def val_stats(params):
-                probs = row_softmax(model.forward(params, batch))
-                return jnp.stack(accuracy_and_loss(probs, batch.onehot,
-                                                   batch.val_mask))
+        # In-group evaluation: flagged epochs run the f32 eval forward on
+        # the just-updated params, so eval cadence no longer has to break
+        # the compiled group (round-2 weak spot: the default eval_every=1
+        # forced 1-epoch groups). The flag PATTERN is host-known per
+        # group, so three variants compile lazily instead of one
+        # lax.cond body: "none" (no eval in the body at all), "all"
+        # (eval inlined, no conditional), "mixed" (lax.cond). A runtime
+        # cond measured +35 ms/epoch on the hyb kernel (its many bucket
+        # kernels schedule poorly inside nested HLO computations) while
+        # all-False groups are the bench/headline path — the variants
+        # make both cond-free.
+        def make_multi(eval_mode: str):
+            def multi_step(params, opt_state, history, batch, lrs, flags):
+                def val_stats(params):
+                    probs = row_softmax(model.forward(params, batch))
+                    return jnp.stack(accuracy_and_loss(probs, batch.onehot,
+                                                       batch.val_mask))
 
-            def body(carry, lr_flag):
-                params, opt_state, history = carry
-                lr, flag = lr_flag
-                grad_params = jax.tree.map(lambda x: x[0], history)
-                loss, grads = jax.value_and_grad(loss_fn)(grad_params, batch)
-                if cfg.adam:
-                    params, opt_state = adam_update(
-                        params, grads, opt_state, lr=lr,
-                        beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
-                        weight_decay=cfg.weight_decay)
-                else:
-                    params = sgd_update(params, grads, lr)
-                history = jax.tree.map(
-                    lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
-                    history, params)
-                # In-group evaluation: flagged epochs run the f32 eval
-                # forward on the just-updated params; the cond skips the
-                # work on unflagged epochs, so eval cadence no longer has
-                # to break the compiled group (round-2 weak spot: the
-                # default eval_every=1 forced 1-epoch groups).
-                stats = jax.lax.cond(flag, val_stats,
-                                     lambda p: jnp.zeros(3, jnp.float32),
-                                     params)
-                return (params, opt_state, history), (loss, stats)
+                def body(carry, lr_flag):
+                    params, opt_state, history = carry
+                    lr, flag = lr_flag
+                    grad_params = jax.tree.map(lambda x: x[0], history)
+                    loss, grads = jax.value_and_grad(loss_fn)(grad_params,
+                                                              batch)
+                    if cfg.adam:
+                        params, opt_state = adam_update(
+                            params, grads, opt_state, lr=lr,
+                            beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
+                            weight_decay=cfg.weight_decay)
+                    else:
+                        params = sgd_update(params, grads, lr)
+                    history = jax.tree.map(
+                        lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
+                        history, params)
+                    if eval_mode == "none":
+                        stats = jnp.zeros(3, jnp.float32)
+                    elif eval_mode == "all":
+                        stats = val_stats(params)
+                    else:
+                        stats = jax.lax.cond(flag, val_stats,
+                                             lambda p: jnp.zeros(3, jnp.float32),
+                                             params)
+                    return (params, opt_state, history), (loss, stats)
 
-            (params, opt_state, history), (losses, stats) = jax.lax.scan(
-                body, (params, opt_state, history), (lrs, flags))
-            return params, opt_state, history, losses, stats
+                (params, opt_state, history), (losses, stats) = jax.lax.scan(
+                    body, (params, opt_state, history), (lrs, flags))
+                return params, opt_state, history, losses, stats
+
+            return jax.jit(multi_step, donate_argnums=(1, 2))
+
+        multis = {mode: make_multi(mode) for mode in ("none", "all", "mixed")}
 
         def evaluate(params, batch, mask):
             probs = row_softmax(model.forward(params, batch))
             return accuracy_and_loss(probs, batch.onehot, mask)
 
-        return (jax.jit(multi_step, donate_argnums=(1, 2)),
-                jax.jit(evaluate))
+        return (multis, jax.jit(evaluate))
 
     # ---- run loop (Engine::run + pipeline scheduler analog) ----
 
@@ -257,7 +273,7 @@ class Engine:
         epochs = epochs if epochs is not None else self.cfg.epochs
         if self._compiled is None:
             self._compiled = self._make_step()
-        multi_step, evaluate = self._compiled
+        multis, evaluate = self._compiled
         cfg = self.cfg
         self.report.notes["kernel"] = self.kernel_selected
         t_run = time.perf_counter()
@@ -300,9 +316,11 @@ class Engine:
                     if cfg.lr_decay_every else cfg.learning_rate)
                    for ep in range(epoch, epoch + k)]
             flags = eval_flags(epoch, k, end, cfg)
-            self.params, self.opt_state, history, loss_arr, stats = multi_step(
-                self.params, self.opt_state, history, self.batch,
-                jnp.asarray(lrs, jnp.float32), jnp.asarray(flags))
+            mode = "all" if flags.all() else ("none" if not flags.any()
+                                              else "mixed")
+            self.params, self.opt_state, history, loss_arr, stats = multis[
+                mode](self.params, self.opt_state, history, self.batch,
+                      jnp.asarray(lrs, jnp.float32), jnp.asarray(flags))
             # float()/np.asarray force a host transfer — the only reliable
             # sync on remote backends (block_until_ready returns early).
             losses = [float(x) for x in np.asarray(loss_arr)]

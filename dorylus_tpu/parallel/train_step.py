@@ -120,51 +120,63 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     # roundtrip per epoch on remote TPU); the scanned body amortizes it.
     # Bounded staleness rides the scan carry as a stacked (S+1, ...)
     # param history — same construction as engine.Engine._make_step.
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), data_spec, P(), P()),
-             out_specs=(P(), P(), P(), P(), P()),
-             check_vma=False)
-    def multi_step(params, opt_state, history, arrs, lrs, flags):
-        batch, send_idx = _local_batch(arrs, denom, overlap)
-        halo = _halo_fn(send_idx)
+    # In-group eval (see engine.Engine._make_step): the flag PATTERN is
+    # host-known per group, so three variants compile lazily — "none"
+    # (no eval in the body), "all" (eval inlined), "mixed" (lax.cond,
+    # flag replicated so every shard takes the same branch; the psum
+    # stays OUTSIDE the cond — zeros psum on skipped epochs). A runtime
+    # cond measured +35 ms/epoch on the slot-grid kernels single-device.
+    def make_multi(eval_mode: str):
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(), data_spec, P(), P()),
+                 out_specs=(P(), P(), P(), P(), P()),
+                 check_vma=False)
+        def multi_step(params, opt_state, history, arrs, lrs, flags):
+            batch, send_idx = _local_batch(arrs, denom, overlap)
+            halo = _halo_fn(send_idx)
 
-        def local_loss(p):
-            return model.loss(p, batch, halo=halo, compute_dtype=compute_dtype)
+            def local_loss(p):
+                return model.loss(p, batch, halo=halo,
+                                  compute_dtype=compute_dtype)
 
-        def val_stats(params):
-            probs = row_softmax(model.forward(params, batch, halo=halo))
-            return jnp.stack(accuracy_and_loss(probs, batch.onehot,
-                                               batch.val_mask))
+            def val_stats(params):
+                probs = row_softmax(model.forward(params, batch, halo=halo))
+                return jnp.stack(accuracy_and_loss(probs, batch.onehot,
+                                                   batch.val_mask))
 
-        def body(carry, lr_flag):
-            params, opt_state, history = carry
-            lr, flag = lr_flag
-            grad_params = jax.tree.map(lambda x: x[0], history)
-            loss, grads = jax.value_and_grad(local_loss)(grad_params)
-            grads = jax.lax.psum(grads, GRAPH_AXIS)
-            loss = jax.lax.psum(loss, GRAPH_AXIS)
-            if cfg.adam:
-                params, opt_state = adam_update(
-                    params, grads, opt_state, lr=lr,
-                    beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
-                    weight_decay=cfg.weight_decay)
-            else:
-                params = sgd_update(params, grads, lr)
-            history = jax.tree.map(
-                lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
-                history, params)
-            # In-group eval (see engine.Engine._make_step): the flag is
-            # replicated so every shard takes the same branch; the psum
-            # stays OUTSIDE the cond (zeros psum on skipped epochs).
-            stats = jax.lax.cond(flag, val_stats,
-                                 lambda p: jnp.zeros(3, jnp.float32),
-                                 params)
-            stats = jax.lax.psum(stats, GRAPH_AXIS)
-            return (params, opt_state, history), (loss, stats)
+            def body(carry, lr_flag):
+                params, opt_state, history = carry
+                lr, flag = lr_flag
+                grad_params = jax.tree.map(lambda x: x[0], history)
+                loss, grads = jax.value_and_grad(local_loss)(grad_params)
+                grads = jax.lax.psum(grads, GRAPH_AXIS)
+                loss = jax.lax.psum(loss, GRAPH_AXIS)
+                if cfg.adam:
+                    params, opt_state = adam_update(
+                        params, grads, opt_state, lr=lr,
+                        beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps,
+                        weight_decay=cfg.weight_decay)
+                else:
+                    params = sgd_update(params, grads, lr)
+                history = jax.tree.map(
+                    lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
+                    history, params)
+                if eval_mode == "none":
+                    stats = jnp.zeros(3, jnp.float32)
+                elif eval_mode == "all":
+                    stats = val_stats(params)
+                else:
+                    stats = jax.lax.cond(flag, val_stats,
+                                         lambda p: jnp.zeros(3, jnp.float32),
+                                         params)
+                stats = jax.lax.psum(stats, GRAPH_AXIS)
+                return (params, opt_state, history), (loss, stats)
 
-        (params, opt_state, history), (losses, stats) = jax.lax.scan(
-            body, (params, opt_state, history), (lrs, flags))
-        return params, opt_state, history, losses, stats
+            (params, opt_state, history), (losses, stats) = jax.lax.scan(
+                body, (params, opt_state, history), (lrs, flags))
+            return params, opt_state, history, losses, stats
+
+        return jax.jit(multi_step, donate_argnums=(1, 2))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), data_spec, None),
@@ -193,8 +205,8 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
 
     step_jit = jax.jit(step, donate_argnums=(2,))
     eval_jit = jax.jit(evaluate, static_argnums=(2,))
-    multi_jit = jax.jit(multi_step, donate_argnums=(1, 2))
-    return step_jit, eval_jit, jax.jit(predict), multi_jit
+    multis = {mode: make_multi(mode) for mode in ("none", "all", "mixed")}
+    return step_jit, eval_jit, jax.jit(predict), multis
 
 
 class ShardedEngine:
@@ -292,7 +304,7 @@ class ShardedEngine:
         if self._compiled is None:
             self._compiled = build_sharded_train_step(
                 self.model, self.cfg, self.mesh, self.sharded.denom)
-        step, evaluate, _, multi_step = self._compiled
+        step, evaluate, _, multis = self._compiled
         cfg = self.cfg
         self.report.notes["kernel"] = self.kernel_selected
         t_run = time.perf_counter()
@@ -335,8 +347,10 @@ class ShardedEngine:
                     if cfg.lr_decay_every else cfg.learning_rate)
                    for ep in range(epoch, epoch + k)]
             flags = eval_flags(epoch, k, end, cfg)
+            mode = "all" if flags.all() else ("none" if not flags.any()
+                                              else "mixed")
             (self.params, self.opt_state, history, loss_arr,
-             stats_arr) = multi_step(
+             stats_arr) = multis[mode](
                 self.params, self.opt_state, history, self.arrs,
                 jnp.asarray(lrs, jnp.float32), jnp.asarray(flags))
             # float()/np.asarray force a host transfer — reliable sync even
