@@ -220,7 +220,12 @@ class Engine:
         # kernels schedule poorly inside nested HLO computations) while
         # all-False groups are the bench/headline path — the variants
         # make both cond-free.
-        def make_multi(eval_mode: str):
+        # Second variant axis: synchronous training (staleness 0, the
+        # default) carries NO history at all — grads at current params,
+        # no (1, ...) stack roll per epoch. The stack roll is an extra
+        # full param copy + concat per epoch that XLA does not elide
+        # (measured ~25 ms/epoch on the hyb kernel's Reddit config).
+        def make_multi(eval_mode: str, with_history: bool):
             def multi_step(params, opt_state, history, batch, lrs, flags):
                 def val_stats(params):
                     probs = row_softmax(model.forward(params, batch))
@@ -228,9 +233,13 @@ class Engine:
                                                        batch.val_mask))
 
                 def body(carry, lr_flag):
-                    params, opt_state, history = carry
+                    if with_history:
+                        params, opt_state, history = carry
+                        grad_params = jax.tree.map(lambda x: x[0], history)
+                    else:
+                        params, opt_state = carry
+                        grad_params = params
                     lr, flag = lr_flag
-                    grad_params = jax.tree.map(lambda x: x[0], history)
                     loss, grads = jax.value_and_grad(loss_fn)(grad_params,
                                                               batch)
                     if cfg.adam:
@@ -240,9 +249,10 @@ class Engine:
                             weight_decay=cfg.weight_decay)
                     else:
                         params = sgd_update(params, grads, lr)
-                    history = jax.tree.map(
-                        lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
-                        history, params)
+                    if with_history:
+                        history = jax.tree.map(
+                            lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
+                            history, params)
                     if eval_mode == "none":
                         stats = jnp.zeros(3, jnp.float32)
                     elif eval_mode == "all":
@@ -251,15 +261,29 @@ class Engine:
                         stats = jax.lax.cond(flag, val_stats,
                                              lambda p: jnp.zeros(3, jnp.float32),
                                              params)
-                    return (params, opt_state, history), (loss, stats)
+                    carry = ((params, opt_state, history) if with_history
+                             else (params, opt_state))
+                    return carry, (loss, stats)
 
-                (params, opt_state, history), (losses, stats) = jax.lax.scan(
-                    body, (params, opt_state, history), (lrs, flags))
+                carry = ((params, opt_state, history) if with_history
+                         else (params, opt_state))
+                carry, (losses, stats) = jax.lax.scan(body, carry,
+                                                      (lrs, flags))
+                if with_history:
+                    params, opt_state, history = carry
+                else:
+                    params, opt_state = carry
                 return params, opt_state, history, losses, stats
 
-            return jax.jit(multi_step, donate_argnums=(1, 2))
+            if with_history:
+                return jax.jit(multi_step, donate_argnums=(1, 2))
+            # history passes through untouched — donating it would
+            # invalidate the caller's (live) S=0 stack.
+            return jax.jit(multi_step, donate_argnums=(1,))
 
-        multis = {mode: make_multi(mode) for mode in ("none", "all", "mixed")}
+        multis = {(mode, h): make_multi(mode, h)
+                  for mode in ("none", "all", "mixed")
+                  for h in (True, False)}
 
         def evaluate(params, batch, mask):
             probs = row_softmax(model.forward(params, batch))
@@ -289,7 +313,9 @@ class Engine:
             return jax.tree.map(
                 lambda x: jnp.tile(x[None], (s + 1,) + (1,) * x.ndim), params)
 
-        history = make_stack(self.params, stale)
+        # Synchronous (stale=0) runs the no-history variants — None is an
+        # empty pytree, so nothing ships to the device for it.
+        history = make_stack(self.params, stale) if stale else None
 
         from dorylus_tpu.engine.convergence import ConvergeMonitor
         from dorylus_tpu.optim.adam import decay_lr
@@ -319,8 +345,9 @@ class Engine:
             mode = "all" if flags.all() else ("none" if not flags.any()
                                               else "mixed")
             self.params, self.opt_state, history, loss_arr, stats = multis[
-                mode](self.params, self.opt_state, history, self.batch,
-                      jnp.asarray(lrs, jnp.float32), jnp.asarray(flags))
+                mode, stale > 0](self.params, self.opt_state, history,
+                                 self.batch, jnp.asarray(lrs, jnp.float32),
+                                 jnp.asarray(flags))
             # float()/np.asarray force a host transfer — the only reliable
             # sync on remote backends (block_until_ready returns early).
             losses = [float(x) for x in np.asarray(loss_arr)]
@@ -352,9 +379,9 @@ class Engine:
                     last_ep)
             if monitor.synchronous and stale:
                 # Drain the async window: future gradients use the latest
-                # params (stack shrinks to S=0; one recompile).
+                # params (drops to the no-history variants; one recompile).
                 stale = 0
-                history = make_stack(self.params, 0)
+                history = None
             if monitor.done:
                 log("Target accuracy %.3f reached at epoch %d — stopping.",
                     cfg.target_accuracy, last_ep)

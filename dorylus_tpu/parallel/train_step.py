@@ -126,7 +126,10 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     # flag replicated so every shard takes the same branch; the psum
     # stays OUTSIDE the cond — zeros psum on skipped epochs). A runtime
     # cond measured +35 ms/epoch on the slot-grid kernels single-device.
-    def make_multi(eval_mode: str):
+    # Second variant axis (see engine.Engine._make_step): synchronous
+    # training (staleness 0, the default) carries NO history — the per-
+    # epoch stack roll is a full param copy XLA does not elide.
+    def make_multi(eval_mode: str, with_history: bool):
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), P(), P(), data_spec, P(), P()),
                  out_specs=(P(), P(), P(), P(), P()),
@@ -145,9 +148,13 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
                                                    batch.val_mask))
 
             def body(carry, lr_flag):
-                params, opt_state, history = carry
+                if with_history:
+                    params, opt_state, history = carry
+                    grad_params = jax.tree.map(lambda x: x[0], history)
+                else:
+                    params, opt_state = carry
+                    grad_params = params
                 lr, flag = lr_flag
-                grad_params = jax.tree.map(lambda x: x[0], history)
                 loss, grads = jax.value_and_grad(local_loss)(grad_params)
                 grads = jax.lax.psum(grads, GRAPH_AXIS)
                 loss = jax.lax.psum(loss, GRAPH_AXIS)
@@ -158,9 +165,10 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
                         weight_decay=cfg.weight_decay)
                 else:
                     params = sgd_update(params, grads, lr)
-                history = jax.tree.map(
-                    lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
-                    history, params)
+                if with_history:
+                    history = jax.tree.map(
+                        lambda hi, p: jnp.concatenate([hi[1:], p[None]]),
+                        history, params)
                 if eval_mode == "none":
                     stats = jnp.zeros(3, jnp.float32)
                 elif eval_mode == "all":
@@ -170,13 +178,22 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
                                          lambda p: jnp.zeros(3, jnp.float32),
                                          params)
                 stats = jax.lax.psum(stats, GRAPH_AXIS)
-                return (params, opt_state, history), (loss, stats)
+                carry = ((params, opt_state, history) if with_history
+                         else (params, opt_state))
+                return carry, (loss, stats)
 
-            (params, opt_state, history), (losses, stats) = jax.lax.scan(
-                body, (params, opt_state, history), (lrs, flags))
+            carry = ((params, opt_state, history) if with_history
+                     else (params, opt_state))
+            carry, (losses, stats) = jax.lax.scan(body, carry, (lrs, flags))
+            if with_history:
+                params, opt_state, history = carry
+            else:
+                params, opt_state = carry
             return params, opt_state, history, losses, stats
 
-        return jax.jit(multi_step, donate_argnums=(1, 2))
+        if with_history:
+            return jax.jit(multi_step, donate_argnums=(1, 2))
+        return jax.jit(multi_step, donate_argnums=(1,))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), data_spec, None),
@@ -205,7 +222,8 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
 
     step_jit = jax.jit(step, donate_argnums=(2,))
     eval_jit = jax.jit(evaluate, static_argnums=(2,))
-    multis = {mode: make_multi(mode) for mode in ("none", "all", "mixed")}
+    multis = {(mode, h): make_multi(mode, h)
+              for mode in ("none", "all", "mixed") for h in (True, False)}
     return step_jit, eval_jit, jax.jit(predict), multis
 
 
@@ -323,7 +341,9 @@ class ShardedEngine:
                 lambda x: jnp.tile(x[None], (s + 1,) + (1,) * x.ndim),
                 params), rep)
 
-        history = make_stack(self.params, stale)
+        # Synchronous (stale=0) runs the no-history variants (see
+        # engine.Engine.run) — None is an empty pytree.
+        history = make_stack(self.params, stale) if stale else None
         monitor = ConvergeMonitor(cfg.target_accuracy, cfg.switch_threshold)
 
         # Synchronous epochs between eval/checkpoint boundaries run as ONE
@@ -350,7 +370,7 @@ class ShardedEngine:
             mode = "all" if flags.all() else ("none" if not flags.any()
                                               else "mixed")
             (self.params, self.opt_state, history, loss_arr,
-             stats_arr) = multis[mode](
+             stats_arr) = multis[mode, stale > 0](
                 self.params, self.opt_state, history, self.arrs,
                 jnp.asarray(lrs, jnp.float32), jnp.asarray(flags))
             # float()/np.asarray force a host transfer — reliable sync even
@@ -378,7 +398,7 @@ class ShardedEngine:
                     last_ep)
             if monitor.synchronous and stale:
                 stale = 0
-                history = make_stack(self.params, 0)
+                history = None
             if monitor.done:
                 log("Target accuracy reached at epoch %d.", last_ep)
                 break
