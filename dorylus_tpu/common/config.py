@@ -164,18 +164,16 @@ def resolve_kernel(kernel: str, num_edges: int, sharded: bool = False) -> str:
     fails (round-2 probe: tools/probe_gat_compile.py); the slot-grid
     kernels are also the measured ~2x faster paths there.
 
-    Single-device auto picks "hyb" (hybrid ELL: no big segment_sum —
-    measured 1.16-1.21x over "degree" fwd+bwd on BOTH uniform and
-    power-law degree distributions, tools/probe_hyb.py); the sharded
-    engine's stacked-plan machinery supports "degree" only, so auto maps
-    to it there (an explicit "hyb" request is likewise coerced)."""
-    if kernel == "hyb" and sharded:
-        return "degree"
+    Auto picks "hyb" (hybrid ELL: no big segment_sum — measured
+    1.16-1.21x over "degree" fwd+bwd on BOTH uniform and power-law degree
+    distributions, tools/probe_hyb.py). Sharded hyb stacks per-shard
+    plans under one shared-width bucket structure
+    (ops/hyb_sharded.py)."""
     if kernel != "auto":
         return kernel
     if num_edges <= AUTO_KERNEL_EDGES:
         return "xla"
-    return "degree" if sharded else "hyb"
+    return "hyb"
 
 
 @dataclass

@@ -1,0 +1,258 @@
+"""Sharded hybrid-ELL SpMM: uniform per-shard hyb plans under one SPMD
+program.
+
+Same role as ops/degree_sharded.py but for the hyb kernel (the measured
+1.16-1.21x fwd+bwd win over the degree layout, tools/probe_hyb.py): each
+vertex shard gets a build_hyb_plan pair (fwd over its dst-sorted edges,
+bwd over the transpose), and shard_map requires every shard's plan to
+share identical static shapes. Hyb plans have more shape freedom than
+degree plans (bucket count, widths, per-bucket rows, hub rows), so
+uniformity is built in three steps:
+
+  1. bucket WIDTHS come from ONE cost-model DP over the concatenated
+     per-shard degree distributions (build_hyb_plan(widths=...) keeps
+     empty buckets so every shard emits the same bucket tuple);
+  2. per-bucket row counts / hub rows / hub counts pad to the cross-shard
+     max with dead rows (cnt 0, s2e sentinel, vals 0) — dead rows produce
+     zero output rows that the inverse permutation never references;
+  3. "inv" and "e2s" are REBUILT against the padded layout (concatenation
+     offsets move when buckets pad).
+
+Padding edges (graph/partition.py: tail-positioned, dst = vp-1, val 0)
+are structurally dead here the same way as in degree_sharded: slot
+liveness is recomputed from the pad structure (edge id < num real edges),
+which stays a per-row prefix because pads stable-sort after the real
+edges of their vertex — asserted at build time.
+
+Reference parity: same aggregation semantics as
+src/graph-server/engine/ops/gcn_ops.cpp:130-191 (weighted in-edge sums)
+under the vertex-partitioned ghost-table layout of graph.hpp:87-98.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from dorylus_tpu.graph.partition import ShardedGraph
+from dorylus_tpu.ops.hyb_spmm import (_LAMBDA_SLOTS, _choose_widths,
+                                      build_hyb_plan, hyb_spmm_apply,
+                                      hyb_spmm_dst_apply,
+                                      hyb_spmm_static_apply)
+
+
+def _recount_live(part: dict, nreal: int) -> None:
+    """Overwrite part["cnt"] with the REAL-edge prefix length per row
+    (pads carry runtime val 0 in the per-edge path, but the mask mode of
+    apply_dst derives weights from cnt — dead edges must be masked
+    statically)."""
+    live = part["s2e"] < nreal
+    cnt = live.sum(axis=1).astype(np.int32)
+    w = part["rows"].shape[1]
+    assert (live == (np.arange(w)[None, :] < cnt[:, None])).all(), \
+        "slot liveness must be a per-row prefix"
+    part["cnt"] = cnt
+
+
+def _pad_rows(part: dict, nrows: int, e: int) -> dict:
+    """Pad one bucket/top part to nrows dead rows (zero contribution)."""
+    r = part["rows"].shape[0]
+    pad = nrows - r
+    if pad == 0:
+        return part
+    out = dict(part)
+    out["rows"] = np.pad(part["rows"], ((0, pad), (0, 0)))
+    out["cnt"] = np.pad(part["cnt"], (0, pad))
+    out["s2e"] = np.pad(part["s2e"], ((0, pad), (0, 0)), constant_values=e)
+    if "vals" in part:
+        out["vals"] = np.pad(part["vals"], ((0, pad), (0, 0)))
+    return out
+
+
+def _uniform_plans(plans: list[dict], nreals: list[int], num_out: int,
+                   ep: int, max_width: int) -> dict:
+    """Pad per-shard hyb plans to one static shape and stack leaf-wise.
+
+    Output rows concatenate as [bucket0 | bucket1 | ... | hubs | zero row]
+    with PADDED sizes, so inv (vertex -> row) and e2s (edge -> flat slot)
+    are rebuilt here against the padded offsets."""
+    n_b = len(plans[0]["buckets"])
+    assert all(len(p["buckets"]) == n_b for p in plans)
+    has_top = any(p["top"] is not None for p in plans)
+    bucket_rows = [max(p["buckets"][i]["rows"].shape[0] for p in plans)
+                   for i in range(n_b)]
+    top_rows = top_hubs = 0
+    if has_top:
+        top_rows = max(1, max(0 if p["top"] is None else
+                              p["top"]["rows"].shape[0] for p in plans))
+        top_hubs = max(1, max(0 if p["top"] is None else
+                              len(p["top"]["v"]) for p in plans))
+
+    stacked = []
+    for p, nreal in zip(plans, nreals):
+        _recount_live_all(p, nreal)
+        sp = {"buckets": [], "top": None}
+        # Rebuild e2s: within-bucket layout is unchanged (row-major), so
+        # each real slot index shifts by (padded offset - real offset) of
+        # its bucket.
+        real_off = [0]
+        pad_off = [0]
+        for i, b in enumerate(p["buckets"]):
+            real_off.append(real_off[-1] + b["rows"].size)
+            pad_off.append(pad_off[-1] + bucket_rows[i] * b["rows"].shape[1])
+            nb = _pad_rows(b, bucket_rows[i], ep)
+            nb["v"] = _pad_idx(b["v"], bucket_rows[i], num_out)
+            sp["buckets"].append(nb)
+        if has_top:
+            t = p["top"]
+            if t is None:
+                t = {"rows": np.zeros((0, max_width), np.int32),
+                     "cnt": np.zeros(0, np.int32),
+                     "rowv": np.zeros(0, np.int32),
+                     "rowv_global": np.zeros(0, np.int32),
+                     "v": np.zeros(0, np.int32),
+                     "s2e": np.full((0, max_width), ep, np.int32)}
+                if "vals" in p["buckets"][0]:
+                    t["vals"] = np.zeros((0, max_width), np.float32)
+            nt = _pad_rows(t, top_rows, ep)
+            # Pad chunk rows aim at the LAST hub segment (sorted invariant)
+            # with zero values; pad hub slots are never referenced by inv.
+            pad_r = top_rows - t["rows"].shape[0]
+            n_hubs_real = len(t["v"])
+            fill = max(0, min(n_hubs_real, top_hubs) - 1)
+            nt["rowv"] = np.concatenate(
+                [t["rowv"], np.full(pad_r, fill, np.int32)]).astype(np.int32)
+            nt["rowv_global"] = _pad_idx(t["rowv_global"], top_rows, num_out)
+            nt["v"] = _pad_idx(t["v"], top_hubs, num_out)
+            sp["top"] = nt
+            real_off.append(real_off[-1] + t["rows"].size)
+            pad_off.append(pad_off[-1] + top_rows * max_width)
+        # e2s remap: find each real slot's bucket by its real offset.
+        e2s = p["e2s"].astype(np.int64)
+        seg = np.searchsorted(np.asarray(real_off[1:]), e2s, side="right")
+        shift = (np.asarray(pad_off[:-1], np.int64)
+                 - np.asarray(real_off[:-1], np.int64))
+        sp["e2s"] = (e2s + shift[seg]).astype(np.int32)
+        # inv rebuild against padded offsets; sentinel (all pad vertices,
+        # isolated vertices) = total padded rows -> the appended zero row.
+        nrow_total = sum(bucket_rows) + (top_hubs if has_top else 0)
+        inv = np.full(num_out, nrow_total, np.int64)
+        pos = 0
+        for i in range(n_b):
+            real_k = _real_rows(p, i)
+            inv[p["buckets"][i]["v"][:real_k]] = np.arange(pos,
+                                                           pos + real_k)
+            pos += bucket_rows[i]
+        if has_top and p["top"] is not None:
+            k = len(p["top"]["v"])
+            inv[p["top"]["v"][:k]] = np.arange(pos, pos + k)
+        sp["inv"] = inv.astype(np.int32)
+        stacked.append(sp)
+
+    def stack(*leaves):
+        return np.stack(leaves)
+
+    out = jax.tree.map(stack, *stacked)
+    out["buckets"] = tuple(out["buckets"])
+    return out
+
+
+def _real_rows(plan: dict, i: int) -> int:
+    return plan["buckets"][i]["rows"].shape[0]
+
+
+def _recount_live_all(plan: dict, nreal: int) -> None:
+    for b in plan["buckets"]:
+        _recount_live(b, nreal)
+    if plan["top"] is not None:
+        _recount_live(plan["top"], nreal)
+
+
+def _pad_idx(v: np.ndarray, n: int, num_out: int) -> np.ndarray:
+    """Pad an index vector with a harmless valid row (the sentinel row is
+    only for inv; v is used as a gather index into vertex-sized arrays)."""
+    return np.concatenate(
+        [v, np.full(n - len(v), num_out - 1, v.dtype)]).astype(np.int32)
+
+
+class ShardedHybSpMM:
+    """Per-shard hyb plans with uniform shapes; arrays stacked on a
+    leading shard axis (PartitionSpec('graph', ...)). Same protocol as
+    ShardedDegreeSpMM: apply/apply_dst/apply_static run inside shard_map
+    on this shard's squeezed arrays."""
+
+    def __init__(self, sharded: ShardedGraph, max_width: int = 512,
+                 gather_dtype=None, feature_dim: int = 128,
+                 static_vals: bool = False, edges: str = "combined",
+                 lam_slots: int = _LAMBDA_SLOTS):
+        n = sharded.n_shards
+        vp = sharded.vp
+        table = {"combined": vp + n * sharded.max_h,
+                 "interior": vp,
+                 "boundary": n * sharded.max_h}[edges]
+
+        def shard_edges(s):
+            if edges == "combined":
+                return s.src, s.dst, s.edge_val, s.num_edges
+            if edges == "interior":
+                return s.src_int, s.dst_int, s.val_int, s.num_int
+            return s.src_bnd, s.dst_bnd, s.val_bnd, s.num_edges - s.num_int
+
+        ep = len(shard_edges(sharded.shards[0])[0])
+        assert all(len(shard_edges(s)[0]) == ep for s in sharded.shards), \
+            "shards must share a padded edge count"
+
+        # One width DP over the pooled per-shard degree spectra so every
+        # shard shares a bucket structure (per-shard DPs would pick
+        # different widths and shard_map could not stack the plans).
+        deg_all = []
+        per_shard = []
+        for s in sharded.shards:
+            src_a, dst_a, val_a, nreal = shard_edges(s)
+            src = np.asarray(src_a)
+            dst = np.asarray(dst_a)
+            of = np.argsort(dst, kind="stable")
+            ob = np.argsort(src, kind="stable")
+            per_shard.append((src, dst, of, ob, np.asarray(val_a, np.float32),
+                              nreal))
+            for d, m in ((dst, vp), (src, table)):
+                dg = np.bincount(d, minlength=m)
+                dg = dg[(dg > 0) & (dg <= max_width)]
+                deg_all.append(dg)
+        deg_all = np.sort(np.concatenate(deg_all))
+        widths = (_choose_widths(deg_all, lam_slots) if len(deg_all)
+                  else [8])
+
+        fwd_plans, bwd_plans, nreals = [], [], []
+        for src, dst, of, ob, val, nreal in per_shard:
+            # pad edges carry val 0, so plan-baked static values are
+            # already inert on dead slots.
+            svp = val if static_vals else None
+            fwd_plans.append(build_hyb_plan(
+                src[of], dst[of], of, vp, max_width, lam_slots,
+                static_val=svp, widths=widths))
+            bwd_plans.append(build_hyb_plan(
+                dst[ob], src[ob], ob, table, max_width, lam_slots,
+                static_val=svp, widths=widths))
+            nreals.append(nreal)
+        for p in fwd_plans + bwd_plans:
+            p.pop("n_slots")
+            p.pop("_n_iso", None)  # uniform stacking always uses inv
+
+        self.has_static_vals = static_vals
+        self.arrays = {
+            "fwd": _uniform_plans(fwd_plans, nreals, vp, ep, max_width),
+            "bwd": _uniform_plans(bwd_plans, nreals, table, ep, max_width),
+        }
+        self.static = (table, vp,
+                       None if gather_dtype is None
+                       else np.dtype(gather_dtype), ep, None, None)
+
+    def apply(self, arrays: dict, h, val):
+        return hyb_spmm_apply(self.static, arrays, h, val)
+
+    def apply_dst(self, arrays: dict, h, dst_val):
+        return hyb_spmm_dst_apply(self.static, arrays, h, dst_val)
+
+    def apply_static(self, arrays: dict, h):
+        return hyb_spmm_static_apply(self.static, arrays, h)

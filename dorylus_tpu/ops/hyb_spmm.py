@@ -104,10 +104,15 @@ def build_hyb_plan(src: np.ndarray, dst: np.ndarray,
                    edge_ids: np.ndarray | None, num_out: int,
                    max_width: int = 512,
                    lam_slots: int = _LAMBDA_SLOTS,
-                   static_val: np.ndarray | None = None) -> dict:
+                   static_val: np.ndarray | None = None,
+                   widths: list[int] | None = None) -> dict:
     """Host-side plan. Requires dst ascending (CSC order). edge_ids maps
     this edge order to original edge ids (identity for the forward plan,
-    the transpose permutation for the backward plan)."""
+    the transpose permutation for the backward plan).
+
+    widths: fixed bucket widths instead of the DP, KEEPING empty buckets —
+    the sharded wrapper (ops/hyb_sharded.py) needs every shard's plan to
+    share one bucket structure under a single SPMD program."""
     e = len(src)
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -131,11 +136,14 @@ def build_hyb_plan(src: np.ndarray, dst: np.ndarray,
     slot_off = 0
     e2s = np.zeros(max(1, e), np.int64)
     lo = 0
-    for w in (_choose_widths(deg_n, lam_slots) if len(deg_n) else []):
+    keep_empty = widths is not None
+    if widths is None:
+        widths = _choose_widths(deg_n, lam_slots) if len(deg_n) else []
+    for w in widths:
         hi = int(np.searchsorted(deg_n, w, side="right"))
         verts = normal[lo:hi]
         lo = hi
-        if len(verts) == 0:
+        if len(verts) == 0 and not keep_empty:
             continue
         rows, cnt, s2e, (ridx, cidx, eidx) = _fill_rows(
             src, estart, verts, deg, w, edge_ids)

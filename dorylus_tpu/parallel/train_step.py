@@ -258,22 +258,26 @@ class ShardedEngine:
         spmm_op = None
         spmm_split = None
         stacked = self.sharded.stacked()
-        if cfg.kernel == "degree":
-            # Per-shard degree plans padded to uniform block-row counts.
+        if cfg.kernel in ("degree", "hyb"):
+            # Per-shard slot plans padded to uniform shapes (degree:
+            # block-row counts; hyb: shared-DP bucket structure).
             from dorylus_tpu.engine.engine import _max_agg_width
-            from dorylus_tpu.ops.degree_sharded import ShardedDegreeSpMM
+            if cfg.kernel == "hyb":
+                from dorylus_tpu.ops.hyb_sharded import ShardedHybSpMM as Op
+            else:
+                from dorylus_tpu.ops.degree_sharded import ShardedDegreeSpMM as Op
             kw = dict(feature_dim=_max_agg_width(layers, cfg),
                       gather_dtype=(jnp.bfloat16
                                     if cfg.agg_dtype == "bfloat16" else None),
                       static_vals=cfg.model == "gcn")
-            spmm_op = ShardedDegreeSpMM(self.sharded, **kw)
+            spmm_op = Op(self.sharded, **kw)
             stacked["spmm"] = spmm_op.arrays
             if cfg.overlap and self.mesh.shape[GRAPH_AXIS] > 1:
                 # Interior/boundary plan pair: the halo-overlap path
-                # (pipeline.cpp:256-286 analog) for the degree kernel.
+                # (pipeline.cpp:256-286 analog) for the slot kernels.
                 spmm_split = (
-                    ShardedDegreeSpMM(self.sharded, edges="interior", **kw),
-                    ShardedDegreeSpMM(self.sharded, edges="boundary", **kw))
+                    Op(self.sharded, edges="interior", **kw),
+                    Op(self.sharded, edges="boundary", **kw))
                 stacked["spmm_int"] = spmm_split[0].arrays
                 stacked["spmm_bnd"] = spmm_split[1].arrays
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
