@@ -52,8 +52,13 @@ import numpy as np
 # between the uniform case (big buckets, startup amortized) and the
 # power-law case (many tiny tail buckets).
 _LAMBDA_SLOTS = 512 * 1024
-_MSGS_CHUNK_BYTES = 4 << 30  # scan-chunk a bucket when its (Vb, w, F)
-#                              message tensor would exceed this
+# Scan-chunk a bucket when its (Vb, w, F) message tensor would exceed
+# this. Compile-OOM guard ONLY — chunking costs ~2.6x when active
+# (V=1.6M/E=24M: 613 ms chunked at a 4 GB threshold vs 210 ms unchunked
+# at 8 GB, benchmarks/results/kernel_crossover_r3.json
+# chunk_threshold_sweep); 8 GB matches the degree kernel's guard and
+# leaves headroom on 16 GB v5e HBM (table + msgs + out).
+_MSGS_CHUNK_BYTES = 8 << 30
 
 
 def _choose_widths(deg_sorted: np.ndarray, lam: int) -> list[int]:

@@ -75,8 +75,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh")
     ap.add_argument("--kernel", default="xla",
-                    choices=["xla", "degree"],
+                    choices=["xla", "degree", "hyb"],
                     help="aggregation kernel (see TrainConfig.kernel)")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="median-of-N runs per shard count (pinned mode)")
     ap.add_argument("--graph", default="clustered",
                     choices=["clustered", "random"],
                     help="clustered = METIS-partitioned-real-graph analog")
@@ -105,9 +107,14 @@ def main():
                    "--degree", str(args.degree),
                    "--feature-dim", str(args.feature_dim),
                    "--classes", str(args.classes)]
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 check=True).stdout
-            rec = json.loads(out.strip().splitlines()[-1])
+            recs = []
+            for _ in range(max(1, args.repeats)):
+                out = subprocess.run(cmd, capture_output=True, text=True,
+                                     check=True).stdout
+                recs.append(json.loads(out.strip().splitlines()[-1]))
+            rec = sorted(recs, key=lambda r: r["edges_per_s"])[len(recs) // 2]
+            if args.repeats > 1:
+                rec["edges_per_s_runs"] = [r["edges_per_s"] for r in recs]
             results.append(rec)
             print(json.dumps(rec), flush=True)
         base = results[0]
