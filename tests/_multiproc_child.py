@@ -7,6 +7,7 @@ the analog of the reference NodeManager's master/worker ZMQ handshake
 cross-process psum + all_to_all (halo) inside one compiled step.
 
 Usage: python _multiproc_child.py <rank> <nprocs> <port> <devices_per_proc>
+           [kernel]
 Prints one JSON line with the losses so the parent can assert agreement.
 """
 
@@ -15,6 +16,7 @@ import os
 import sys
 
 rank, nprocs, port, dpp = (int(a) for a in sys.argv[1:5])
+kernel = sys.argv[5] if len(sys.argv) > 5 else "auto"
 
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={dpp}")
@@ -39,7 +41,8 @@ from dorylus_tpu.parallel.train_step import ShardedEngine  # noqa: E402
 # dshmachines contract: same program, same inputs, rank from the runtime).
 g = synthetic_graph(256, 6, 16, 5, seed=3)
 layers = LayerConfig([16, 8, 5])
-cfg = TrainConfig(epochs=3, eval_every=0, num_shards=nprocs * dpp)
+cfg = TrainConfig(epochs=3, eval_every=0, num_shards=nprocs * dpp,
+                  kernel=kernel)
 eng = ShardedEngine(g, layers, cfg, mesh=global_mesh())
 report = eng.run()
 print(json.dumps({"rank": rank,

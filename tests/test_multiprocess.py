@@ -23,7 +23,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_step():
+import pytest
+
+
+@pytest.mark.parametrize("kernel", ["auto", "hyb"])
+def test_two_process_sharded_step(kernel):
     port = _free_port()
     nprocs, dpp = 2, 2
     env = dict(os.environ)
@@ -32,7 +36,7 @@ def test_two_process_sharded_step():
     procs = [
         subprocess.Popen(
             [sys.executable, str(CHILD), str(rank), str(nprocs), str(port),
-             str(dpp)],
+             str(dpp), kernel],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env)
         for rank in range(nprocs)
