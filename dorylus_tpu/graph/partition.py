@@ -184,9 +184,19 @@ def partition_graph(
     src_owner = part[g.src]
 
     # Per-shard edge slices: a stable sort by owner keeps the global CSC
-    # (dst-ascending) order within each shard.
-    eorder = np.argsort(edge_owner, kind="stable")
-    ebounds = np.searchsorted(edge_owner[eorder], np.arange(n + 1))
+    # (dst-ascending) order within each shard. Fast path: edges arrive
+    # dst-ascending (Graph.finalize), so any monotone vertex->shard map
+    # (range partitioning, or METIS parts applied through a renumbering)
+    # makes edge_owner ALREADY sorted — eorder is the identity and every
+    # per-shard "gather by e_sel" below collapses to a contiguous slice
+    # (at Friendster-like scale the argsort + 5 full-array gathers are
+    # ~40% of partitioning wall).
+    if edge_owner.size == 0 or (np.diff(edge_owner) >= 0).all():
+        eorder = None
+        ebounds = np.searchsorted(edge_owner, np.arange(n + 1))
+    else:
+        eorder = np.argsort(edge_owner, kind="stable")
+        ebounds = np.searchsorted(edge_owner[eorder], np.arange(n + 1))
     e_per_shard = np.diff(ebounds)
 
     # Ghost discovery in ONE pass: remote edges sorted by the composite
@@ -272,9 +282,12 @@ def partition_graph(
 
         # Edges owned by this shard (already dst-ascending); the src ->
         # feature-table remap was computed globally (src_table above).
-        e_sel = eorder[ebounds[s]: ebounds[s + 1]]
+        e_sel = (slice(int(ebounds[s]), int(ebounds[s + 1]))
+                 if eorder is None
+                 else eorder[ebounds[s]: ebounds[s + 1]])
+        n_e = int(e_per_shard[s])
         e_dst_g = g.dst[e_sel]
-        e_val = (np.ones(len(e_sel), np.float32) if for_gat
+        e_val = (np.ones(n_e, np.float32) if for_gat
                  else g.edge_norm[e_sel])
         src_idx = src_table[e_sel]
         own = src_owner[e_sel] == s
@@ -285,14 +298,14 @@ def partition_graph(
         src_arr = np.zeros(ep, np.int32)
         dst_arr = np.full(ep, vp - 1, np.int32)
         val_arr = np.zeros(ep, np.float32)
-        src_arr[: len(e_sel)] = src_idx
-        dst_arr[: len(e_sel)] = local_index[e_dst_g]
-        val_arr[: len(e_sel)] = e_val
+        src_arr[:n_e] = src_idx
+        dst_arr[:n_e] = local_index[e_dst_g]
+        val_arr[:n_e] = e_val
 
         # Interior/boundary split (overlap path).
         dst_local_all = local_index[e_dst_g]
         k_int = int(own.sum())
-        k_bnd = len(e_sel) - k_int
+        k_bnd = n_e - k_int
         src_int = np.zeros(ep_int, np.int32)
         dst_int = np.full(ep_int, vp - 1, np.int32)
         val_int = np.zeros(ep_int, np.float32)
@@ -330,7 +343,7 @@ def partition_graph(
                 val_mask=masks[1],
                 test_mask=masks[2],
                 send_idx=send,
-                num_edges=len(e_sel),
+                num_edges=n_e,
                 num_int=k_int,
                 src_int=src_int, dst_int=dst_int, val_int=val_int,
                 src_bnd=src_bnd, dst_bnd=dst_bnd, val_bnd=val_bnd,
