@@ -13,6 +13,15 @@ into the "fg"/"bg" ghost tensors) with one all_to_all per layer:
 The backward pass of this function (gather -> all_to_all -> concat) is
 derived by autodiff: scatter-add of ghost gradients back to their owner —
 exactly the reference's backward scatter of "bg" gradients.
+
+Why NOT lax.ragged_all_to_all (which would send each (shard, peer)
+pair's exact row count like the reference's exact ZMQ scatter, instead
+of padding to the pair max): XLA:CPU cannot lower ragged-all-to-all
+(UNIMPLEMENTED in the ThunkEmitter, verified on jax 0.9), which would
+make the hermetic CPU suite and the virtual-mesh dryrun impossible. The
+padding waste is bounded by (max_h - need_ij) rows per pair and LDG/
+METIS partitions keep pair needs balanced; revisit if a real pod profile
+shows halo bytes dominating.
 """
 
 from __future__ import annotations
