@@ -115,6 +115,11 @@ def main():
             rec = sorted(recs, key=lambda r: r["edges_per_s"])[len(recs) // 2]
             if args.repeats > 1:
                 rec["edges_per_s_runs"] = [r["edges_per_s"] for r in recs]
+                # Multi-tenant host CPU varies up to 2x run-to-run
+                # (benchmarks/results/partition_100m_r3.json note); best-of-N
+                # measures the machine's capacity at each shard count and is
+                # the stable basis for an efficiency ratio.
+                rec["edges_per_s_best"] = max(r["edges_per_s"] for r in recs)
             results.append(rec)
             print(json.dumps(rec), flush=True)
         base = results[0]
@@ -122,6 +127,11 @@ def main():
             r["weak_scaling_efficiency"] = round(
                 r["edges_per_s"] / (base["edges_per_s"] * r["shards"]
                                     / base["shards"]), 3)
+            if "edges_per_s_best" in r:
+                r["weak_scaling_efficiency_best"] = round(
+                    r["edges_per_s_best"] / (base["edges_per_s_best"]
+                                             * r["shards"] / base["shards"]),
+                    3)
         summary = {"weak_scaling": results, "mode": "pinned-cpu",
                    "graph": args.graph, "cut": args.cut,
                    "kernel": args.kernel, "cores": ncores}
