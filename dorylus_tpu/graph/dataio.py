@@ -99,14 +99,25 @@ def write_parts_file(path: str | Path, parts: np.ndarray) -> None:
 
 def read_text_edges(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     """Text snap edge list (skip '#'/'%' comments, drop self loops) —
-    graphToBinary.cpp:readFile semantics."""
+    graphToBinary.cpp:readFile semantics. Dispatches to the native
+    parallel parser (native/graphcore.cpp gc_parse_edges, ~memory
+    bandwidth) with this module's line loop as the fallback."""
+    from dorylus_tpu import native
+    return native.parse_edges(path)
+
+
+def _read_text_edges_py(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     srcs, dsts = [], []
     with open(path) as f:
         for line in f:
             if not line.strip() or line[0] in "#%":
                 continue
             parts = line.split()
-            s, d = int(parts[0]), int(parts[1])
+            # Malformed lines are skipped, matching gc_parse_edges.
+            try:
+                s, d = int(parts[0]), int(parts[1])
+            except (IndexError, ValueError):
+                continue
             if s == d:
                 continue
             srcs.append(s)
