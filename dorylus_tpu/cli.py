@@ -56,7 +56,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    choices=["auto", "xla", "degree", "hyb"],
                    help="aggregation kernel (auto = hyb past 8M edges "
                         "else xla; hyb = hybrid ELL, degree = degree-"
-                        "padded blocked; sharded runs coerce hyb->degree)")
+                        "padded blocked; all three work sharded)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--agg-bf16", action="store_true",
                    help="gather aggregation tables in bfloat16 (f32 "

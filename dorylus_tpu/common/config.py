@@ -156,7 +156,7 @@ class TrainConfig:
 AUTO_KERNEL_EDGES = 1 << 23  # 8M
 
 
-def resolve_kernel(kernel: str, num_edges: int, sharded: bool = False) -> str:
+def resolve_kernel(kernel: str, num_edges: int) -> str:
     """Resolve kernel="auto": a slot-grid kernel past 8M edges, plain XLA
     segment_sum below. Past ~8M edges the edgewise path's chunk-scan
     saves (n_chunks, chunk, F) message residuals for the backward — at

@@ -152,13 +152,18 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
     multi = mesh.shape[GRAPH_AXIS] > 1
     out: Dict[str, float] = {}
     dims = model.layers.dims
+    # Overlap runs ship ONLY the interior/boundary plan pair (the combined
+    # plan would double plan HBM for a path the models never take), so the
+    # brackets must profile the split dispatch — which is also the kernel
+    # production actually runs there.
+    use_split = isinstance(engine.arrs, dict) and "spmm_int" in engine.arrs
 
     def _sharded_scalar(fn):
         @partial(shard_map, mesh=mesh, in_specs=(P(), P(GRAPH_AXIS), P()),
                  out_specs=P(), check_vma=False)
         def wrapped(params, arrs, c):
-            batch, (send_idx, _, _) = _local_batch(arrs, denom, overlap=False)
-            val = fn(params, batch, send_idx, c)
+            batch, halo_args = _local_batch(arrs, denom, overlap=use_split)
+            val = fn(params, batch, halo_args, c)
             return jax.lax.psum(jnp.asarray(val).ravel()[0].astype(jnp.float32),
                                 GRAPH_AXIS)
         return wrapped
@@ -189,21 +194,36 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
             return h + c * 1e-12
 
         if multi:
-            def halo_fn(params, batch, send_idx, c, make_h=make_h):
-                return halo_recv(make_h(batch, c), send_idx)
+            def halo_fn(params, batch, halo_args, c, make_h=make_h):
+                return halo_recv(make_h(batch, c), halo_args[0])
 
             out[f"halo_l{l}_ms"] = _time(halo_fn)
 
         spmm_op = getattr(model, "spmm_op", None)
+        spmm_split = getattr(model, "spmm_split", None)
         is_gat = cfg.model == "gat"
 
-        def agg_fn(params, batch, send_idx, c, make_h=make_h):
+        def agg_fn(params, batch, halo_args, c, make_h=make_h):
             h = make_h(batch, c)
+            send_idx = halo_args[0]
             # Stand-in ghost table with the real table's shape: rows
             # re-gathered locally (no collective) — times the SpMM alone,
             # with the kernel dispatch the MODEL drives (apply_dst for
-            # GAT, apply_static for GCN static norms).
+            # GAT, apply_static for GCN static norms; interior+boundary
+            # plan pair on the overlap path).
             ghosts = h[send_idx % h.shape[0]].reshape(-1, h.shape[1])
+            if use_split and spmm_split is not None:
+                op_i, op_b = spmm_split
+                aux = batch.aux or {}
+                if is_gat:
+                    return (op_i.apply_dst(aux["spmm_int"], h, h[:, 0])
+                            + op_b.apply_dst(aux["spmm_bnd"], ghosts,
+                                             h[:, 0]))
+                if getattr(op_i, "has_static_vals", False):
+                    return (op_i.apply_static(aux["spmm_int"], h)
+                            + op_b.apply_static(aux["spmm_bnd"], ghosts))
+                return (op_i.apply(aux["spmm_int"], h, batch.val_int)
+                        + op_b.apply(aux["spmm_bnd"], ghosts, batch.val_bnd))
             table = jnp.concatenate([h, ghosts], axis=0)
             if spmm_op is not None:
                 arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
@@ -217,20 +237,30 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
 
         out[f"aggregate_l{l}_ms"] = _time(agg_fn)
 
-    def fwd_fn(params, batch, send_idx, c):
-        k0 = next(iter(params))
-        p2 = dict(params)
-        p2[k0] = params[k0] + c * 1e-12
-        # Non-split batch (overlap=False) -> halo builds the FULL table.
-        halo = ((lambda h: halo_exchange(h, send_idx)) if multi else None)
-        return model.forward(p2, batch, halo=halo)
+    def _halo(halo_args):
+        # Split batches expect ghost-rows-only (halo_recv); combined
+        # batches expect the full table (halo_exchange) — mirror the
+        # engine's _halo_fn dispatch, planned backward included.
+        if not multi:
+            return None
+        send_idx, order, rows = halo_args
+        plan = None if order is None else (order, rows)
+        if use_split:
+            return lambda h: halo_recv(h, send_idx, plan=plan)
+        return lambda h: halo_exchange(h, send_idx, plan=plan)
 
-    def grad_fn(params, batch, send_idx, c):
+    def fwd_fn(params, batch, halo_args, c):
         k0 = next(iter(params))
         p2 = dict(params)
         p2[k0] = params[k0] + c * 1e-12
-        halo = ((lambda h: halo_exchange(h, send_idx)) if multi else None)
-        g = jax.grad(lambda p: model.loss(p, batch, halo=halo))(p2)
+        return model.forward(p2, batch, halo=_halo(halo_args))
+
+    def grad_fn(params, batch, halo_args, c):
+        k0 = next(iter(params))
+        p2 = dict(params)
+        p2[k0] = params[k0] + c * 1e-12
+        g = jax.grad(lambda p: model.loss(p, batch,
+                                          halo=_halo(halo_args)))(p2)
         return g[k0]
 
     out["forward_ms"] = _time(fwd_fn)

@@ -129,8 +129,11 @@ def parse_edges(path) -> tuple[np.ndarray, np.ndarray]:
     try:
         view = np.frombuffer(buf, np.uint8)  # readonly view of the mmap
         # Upper bound on edges = line count (newlines + a possible last
-        # unterminated line).
-        cap = int((view == 10).sum()) + 1
+        # unterminated line). Counted in chunks: a whole-file boolean
+        # temporary would transiently double RAM on multi-GB edge lists.
+        chunk = 1 << 26
+        cap = 1 + sum(int((view[i:i + chunk] == 10).sum())
+                      for i in range(0, length, chunk))
         src = np.empty(cap, np.int32)
         dst = np.empty(cap, np.int32)
         n = lib.gc_parse_edges(ctypes.c_void_p(view.ctypes.data), length,

@@ -161,6 +161,12 @@ def build_hyb_plan(src: np.ndarray, dst: np.ndarray,
         e2s[edge_ids[eidx]] = slot_off + ridx * w + cidx
         slot_off += rows.size
         buckets.append(b)
+    # Explicit widths must cover every non-hub degree — an uncovered
+    # vertex would silently aggregate to zero (sentinel inv row) and leak
+    # slot-0 garbage through e2s gradients.
+    assert lo == len(normal), \
+        f"widths {widths} cover degrees <= {widths[-1] if widths else 0}, " \
+        f"but {len(normal) - lo} vertices have higher (non-hub) degree"
 
     top = None
     if len(hubs):

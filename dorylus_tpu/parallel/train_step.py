@@ -248,8 +248,7 @@ class ShardedEngine:
             self.cfg = cfg
             log("auto edge_chunk=4M for %d edges/shard", self.sharded.ep)
         from dorylus_tpu.common.config import resolve_kernel
-        kernel = resolve_kernel(cfg.kernel, self.sharded.ep,
-                                sharded=True)  # per-chip E
+        kernel = resolve_kernel(cfg.kernel, self.sharded.ep)  # per-chip E
         if kernel != cfg.kernel:
             import dataclasses
             log("kernel auto -> %s (%d edges/shard)", kernel, self.sharded.ep)
@@ -270,16 +269,21 @@ class ShardedEngine:
                       gather_dtype=(jnp.bfloat16
                                     if cfg.agg_dtype == "bfloat16" else None),
                       static_vals=cfg.model == "gcn")
-            spmm_op = Op(self.sharded, **kw)
-            stacked["spmm"] = spmm_op.arrays
             if cfg.overlap and self.mesh.shape[GRAPH_AXIS] > 1:
                 # Interior/boundary plan pair: the halo-overlap path
-                # (pipeline.cpp:256-286 analog) for the slot kernels.
+                # (pipeline.cpp:256-286 analog) for the slot kernels. The
+                # models never touch the combined plan on this path, so it
+                # is neither built (host time) nor shipped (its E-sized
+                # slot grids would roughly double per-chip plan HBM at
+                # exactly the scale overlap targets).
                 spmm_split = (
                     Op(self.sharded, edges="interior", **kw),
                     Op(self.sharded, edges="boundary", **kw))
                 stacked["spmm_int"] = spmm_split[0].arrays
                 stacked["spmm_bnd"] = spmm_split[1].arrays
+            else:
+                spmm_op = Op(self.sharded, **kw)
+                stacked["spmm"] = spmm_op.arrays
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
                           optimize_order=cfg.optimize_order, spmm_op=spmm_op,
                           spmm_split=spmm_split)

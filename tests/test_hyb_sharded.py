@@ -76,6 +76,6 @@ def test_sharded_hyb_overlap_equals_combined():
 
 def test_sharded_auto_resolves_to_hyb():
     from dorylus_tpu.common.config import resolve_kernel
-    assert resolve_kernel("auto", 20_000_000, sharded=True) == "hyb"
-    assert resolve_kernel("hyb", 20_000_000, sharded=True) == "hyb"
-    assert resolve_kernel("auto", 1_000, sharded=True) == "xla"
+    assert resolve_kernel("auto", 20_000_000) == "hyb"
+    assert resolve_kernel("hyb", 20_000_000) == "hyb"
+    assert resolve_kernel("auto", 1_000) == "xla"

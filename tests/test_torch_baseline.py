@@ -13,7 +13,8 @@ kernels (which tests/oracle.py already covers vs numpy).
 
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")  # keeps the suite hermetic without it
 
 from dorylus_tpu.common.config import LayerConfig, TrainConfig
 from dorylus_tpu.engine.engine import Engine
