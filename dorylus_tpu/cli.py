@@ -52,6 +52,14 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parts-file", default=None,
                    help="METIS-style parts file (with --partition metis)")
     p.add_argument("--edge-chunk", type=int, default=0)
+    p.add_argument("--epochs-per-call", type=int, default=0,
+                   help="epochs per compiled lax.scan group (0 = auto, "
+                        "groups up to 25 to the next eval/checkpoint "
+                        "boundary; 1 = dispatch per epoch). Cap it at "
+                        "giant-graph scale: a single compiled call running "
+                        "tens of seconds can trip the remote TPU worker's "
+                        "watchdog (friendster-config: 25-epoch groups "
+                        "crashed the worker; 5-epoch groups are stable)")
     p.add_argument("--kernel", default="auto",
                    choices=["auto", "xla", "degree", "hyb"],
                    help="aggregation kernel (auto = hyb past 8M edges "
@@ -101,7 +109,7 @@ def cmd_train(args) -> int:
         model=args.model, epochs=args.epochs, learning_rate=args.learning_rate,
         target_accuracy=args.target_acc, eval_every=args.eval_every,
         num_shards=args.shards, edge_chunk=args.edge_chunk,
-        kernel=args.kernel,
+        kernel=args.kernel, epochs_per_call=args.epochs_per_call,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         agg_dtype="bfloat16" if args.agg_bf16 else "float32",
         staleness=args.staleness,
