@@ -48,9 +48,16 @@ def _max_agg_width(layers: LayerConfig, cfg: TrainConfig) -> int:
 # runs between progress lines; dispatch overhead amortizes to <1% of a
 # Reddit-config epoch at this size.
 AUTO_GROUP_CAP = 25
+# Additional auto cap by scale: a single compiled call running tens of
+# seconds deterministically crashes the remote TPU worker (watchdog —
+# CLAUDE.md; friendster-config 25-epoch groups crash, 5-epoch groups
+# stable at ~2-4 s/epoch). k*edges <= this keeps calls under ~5 s at the
+# ~100 M edges/s large-graph epoch rates.
+AUTO_GROUP_EDGE_BUDGET = 300_000_000
 
 
-def group_len(epoch: int, end: int, cfg: TrainConfig) -> int:
+def group_len(epoch: int, end: int, cfg: TrainConfig,
+              num_edges: int = 0) -> int:
     """Epochs to run in ONE compiled call starting at `epoch`.
 
     Evaluation no longer breaks groups: per-epoch eval stats are computed
@@ -66,6 +73,8 @@ def group_len(epoch: int, end: int, cfg: TrainConfig) -> int:
     if cfg.epochs_per_call == 1:
         return 1
     cap = cfg.epochs_per_call if cfg.epochs_per_call else AUTO_GROUP_CAP
+    if not cfg.epochs_per_call and num_edges:
+        cap = max(1, min(cap, AUTO_GROUP_EDGE_BUDGET // max(1, num_edges)))
     k = 1
     while True:
         ep = epoch + k - 1
@@ -330,12 +339,13 @@ class Engine:
         # amortize across the group.
         epoch = self.start_epoch
         end = self.start_epoch + epochs
-        first_k = group_len(self.start_epoch, end, cfg)
+        first_k = group_len(self.start_epoch, end, cfg,
+                            self.graph.num_edges)
         if first_k > 1:
             log("first %d-epoch group includes compilation — per-epoch "
                 "times are warm from the second run on", first_k)
         while epoch < end:
-            k = group_len(epoch, end, cfg)
+            k = group_len(epoch, end, cfg, self.graph.num_edges)
             t0 = time.perf_counter()
             lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
                              cfg.lr_decay_factor)

@@ -361,14 +361,15 @@ class ShardedEngine:
 
         epoch = self.start_epoch
         end = self.start_epoch + epochs
-        first_k = group_len(self.start_epoch, end, cfg)
+        first_k = group_len(self.start_epoch, end, cfg,
+                            self.sharded.ep)
         if first_k > 1:
             log("first %d-epoch group includes compilation — per-epoch "
                 "times are warm from the second run on", first_k)
         from dorylus_tpu.engine.engine import eval_flags
 
         while epoch < end:
-            k = group_len(epoch, end, cfg)
+            k = group_len(epoch, end, cfg, self.sharded.ep)
             t0 = time.perf_counter()
             lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
                              cfg.lr_decay_factor)
