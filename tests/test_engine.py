@@ -57,6 +57,14 @@ def test_group_len_boundaries():
     assert group_len(0, 20, cfgt) == 1
     assert group_len(1, 20, cfgt) == 5
     assert group_len(6, 20, cfgt) == 5
+    # Giant graphs cap the auto group by edge budget (remote-worker
+    # watchdog guard): k * edges <= AUTO_GROUP_EDGE_BUDGET.
+    assert group_len(0, 100, cfg, num_edges=11_600_000) == AUTO_GROUP_CAP
+    assert group_len(0, 100, cfg, num_edges=37_000_000) == 8
+    assert group_len(0, 100, cfg, num_edges=500_000_000) == 1
+    # Explicit epochs_per_call overrides the budget (user knows best).
+    assert group_len(0, 100, TrainConfig(epochs_per_call=25),
+                     num_edges=500_000_000) == 25
     # explicit per-epoch mode
     cfg1 = TrainConfig(eval_every=0, epochs_per_call=1)
     assert group_len(3, 20, cfg1) == 1
