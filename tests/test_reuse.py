@@ -1,0 +1,100 @@
+"""Pair-reuse mining (graph/reuse.py): exactness and profitability.
+
+The rewrite must compute EXACTLY the same unit-weight aggregation
+operator: for any h, aggregating the rewritten edge list over the
+pair-augmented table equals aggregating the original edges. Verified
+against a dense numpy operator (the oracle style of tests/oracle.py)."""
+
+import numpy as np
+import pytest
+
+from dorylus_tpu.graph.reuse import mine_reuse
+
+
+def clustered_graph(num_vertices=600, communities=20, deg=12, seed=0):
+    """Community graph with heavy neighbor-list overlap (each community
+    draws neighbors from a small popular core) — the real-graph shape
+    where pair reuse pays."""
+    rng = np.random.default_rng(seed)
+    comm = rng.integers(0, communities, size=num_vertices)
+    members = [np.flatnonzero(comm == c) for c in range(communities)]
+    srcs, dsts = [], []
+    for v in range(num_vertices):
+        pool = members[comm[v]]
+        core = pool[: max(2, len(pool) // 3)]  # popular core
+        n = rng.choice(core, size=min(deg, len(core)), replace=False)
+        srcs.append(n)
+        dsts.append(np.full(len(n), v))
+    src = np.concatenate(srcs).astype(np.int32)
+    dst = np.concatenate(dsts).astype(np.int32)
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+def dense_unit(src, dst, v):
+    a = np.zeros((v, v), np.float64)
+    np.add.at(a, (dst, src), 1.0)
+    return a
+
+
+def apply_rewritten(plan, h):
+    tbl = plan.build_table_np(h.astype(np.float64))
+    out = np.zeros((plan.num_vertices, h.shape[1]), np.float64)
+    np.add.at(out, plan.dst, tbl[plan.src])
+    return out
+
+
+@pytest.mark.parametrize("passes", [1, 2])
+def test_rewrite_exact(passes):
+    src, dst = clustered_graph()
+    v = 600
+    plan = mine_reuse(src, dst, v, min_uses=3, passes=passes)
+    assert plan.num_pairs > 0, "clustered graph must yield pairs"
+    h = np.random.default_rng(1).normal(size=(v, 7))
+    want = dense_unit(src, dst, v) @ h
+    got = apply_rewritten(plan, h)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_rows_strictly_reduced():
+    src, dst = clustered_graph()
+    plan = mine_reuse(src, dst, 600, min_uses=3)
+    # Gathered rows = rewritten edges + 2 per pair for the build gather.
+    assert plan.stats["rows_after"] < plan.stats["rows_before"]
+    assert plan.stats["row_reduction"] > 0.15  # heavy-overlap graph
+    # Every level's pair ids stay within the table built so far.
+    size = plan.num_vertices
+    for lvl in plan.levels:
+        assert lvl.max() < size
+        size += len(lvl)
+    assert size == plan.table_size
+    assert plan.src.max() < plan.table_size
+    # CSC order preserved for the plan builders downstream.
+    assert (np.diff(plan.dst) >= 0).all()
+
+
+def test_random_graph_no_pairs_is_identity():
+    """A uniform random graph has ~no repeated pairs; the rewrite must
+    degrade gracefully to the original edge list."""
+    rng = np.random.default_rng(2)
+    v, e = 2000, 16000
+    src = rng.integers(0, v, e).astype(np.int32)
+    dst = rng.integers(0, v, e).astype(np.int32)
+    plan = mine_reuse(src, dst, v, min_uses=4)
+    h = rng.normal(size=(v, 5))
+    np.testing.assert_allclose(apply_rewritten(plan, h),
+                               dense_unit(src, dst, v) @ h,
+                               rtol=1e-12, atol=1e-12)
+    assert plan.stats["rows_after"] <= e + 2 * plan.num_pairs
+
+
+def test_duplicate_edges_and_empty():
+    # Duplicate (src, dst) edges double-count, including inside pairs.
+    src = np.array([1, 1, 1, 1, 1, 1], np.int32)
+    dst = np.array([0, 0, 2, 2, 3, 3], np.int32)
+    plan = mine_reuse(src, dst, 4, min_uses=3)
+    h = np.arange(8, dtype=np.float64).reshape(4, 2) + 1
+    np.testing.assert_allclose(apply_rewritten(plan, h),
+                               dense_unit(src, dst, 4) @ h)
+    empty = mine_reuse(np.zeros(0, np.int32), np.zeros(0, np.int32), 3)
+    assert empty.num_pairs == 0 and len(empty.src) == 0
