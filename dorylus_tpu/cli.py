@@ -70,6 +70,14 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="gather aggregation tables in bfloat16 (f32 "
                         "accumulation): ~2x aggregation speed on TPU at "
                         "~1e-3 relative error; degree kernel only")
+    p.add_argument("--reuse", default="off", choices=["off", "pairs"],
+                   help="mine common neighbor pairs into reusable gather-"
+                        "table rows (exact; graph/reuse.py). Pays on "
+                        "overlap-heavy real graphs — the gather is row-"
+                        "rate-bound, so fewer rows = faster. kernel=hyb, "
+                        "single shard")
+    p.add_argument("--reuse-passes", type=int, default=1,
+                   help="pair-mining hierarchy depth (2 = pairs-of-pairs)")
     p.add_argument("--staleness", type=int, default=None,
                    help="bounded-staleness async mode (pipeline.cpp:95-102): "
                         "gradients may be computed against weights up to N "
@@ -110,6 +118,7 @@ def cmd_train(args) -> int:
         target_accuracy=args.target_acc, eval_every=args.eval_every,
         num_shards=args.shards, edge_chunk=args.edge_chunk,
         kernel=args.kernel, epochs_per_call=args.epochs_per_call,
+        reuse=args.reuse, reuse_passes=args.reuse_passes,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         agg_dtype="bfloat16" if args.agg_bf16 else "float32",
         staleness=args.staleness,

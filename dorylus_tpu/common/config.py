@@ -137,6 +137,15 @@ class TrainConfig:
     #  independent, so locality reordering could never save it)
     edge_chunk: int = 0  # SpMM edge-chunk size; 0 = unchunked
     optimize_order: bool = True  # transform-before-aggregate when it shrinks F
+    # Pair reuse ("off" | "pairs"): mine common neighbor pairs into
+    # appended gather-table rows (graph/reuse.py) — exact for both models
+    # (GCN rank-1 norms, GAT dst-only attention). The gather is ROW-rate-
+    # bound (tools/probe_narrow_gather.py), so the row reduction converts
+    # ~1:1 into aggregation time on overlap-heavy (real) graphs; a
+    # uniform-random graph yields ~no pairs and falls back gracefully.
+    # Single-shard hyb kernel only.
+    reuse: str = "off"
+    reuse_passes: int = 1  # hierarchy depth (pairs-of-pairs beyond 1)
 
     # Checkpointing (an improvement over the reference, which has none).
     checkpoint_dir: Optional[str] = None

@@ -136,18 +136,41 @@ class Engine:
                 # matrix in benchmarks/results/largev_probe_r2.json.
                 log("hint: --agg-bf16 roughly doubles aggregation "
                     "throughput at >1M vertices (f32 must edge-chunk)")
-            if cfg.kernel == "hyb":
-                from dorylus_tpu.ops.hyb_spmm import HybSpMM as OpCls
+            gather_dtype = (jnp.bfloat16 if cfg.agg_dtype == "bfloat16"
+                            else None)
+            if cfg.reuse == "pairs" and cfg.kernel == "hyb":
+                # Pair-reuse rewrite (graph/reuse.py): both models have
+                # unit-weight inner sums (GCN via the rank-1 norm
+                # factorization f(src)·f(dst), GAT via dst-only
+                # attention), so the rewrite is exact.
+                from dorylus_tpu.ops.reuse_spmm import ReuseSpMM
+                spmm_op = ReuseSpMM(
+                    graph.src, graph.dst,
+                    graph.num_vertices, graph.num_vertices,
+                    feature_dim=_max_agg_width(layers, cfg),
+                    gather_dtype=gather_dtype,
+                    rank1_factor=(np.sqrt(graph.self_norm)
+                                  if cfg.model == "gcn" else None),
+                    passes=cfg.reuse_passes)
+                st = spmm_op.plan_fwd.stats
+                log("pair reuse: %d fwd pairs, gathered rows %d -> %d "
+                    "(-%.1f%%)", spmm_op.plan_fwd.num_pairs,
+                    st["rows_before"], st["rows_after"],
+                    100 * st["row_reduction"])
             else:
-                from dorylus_tpu.ops.degree_spmm import DegreeSpMM as OpCls
-            spmm_op = OpCls(graph.src, graph.dst,
-                            graph.num_vertices, graph.num_vertices,
-                            feature_dim=_max_agg_width(layers, cfg),
-                            gather_dtype=(jnp.bfloat16
-                                          if cfg.agg_dtype == "bfloat16"
-                                          else None),
-                            static_val=(graph.edge_norm
-                                        if cfg.model == "gcn" else None))
+                if cfg.reuse == "pairs":
+                    log("pair reuse requires kernel=hyb (have %s) — off",
+                        cfg.kernel)
+                if cfg.kernel == "hyb":
+                    from dorylus_tpu.ops.hyb_spmm import HybSpMM as OpCls
+                else:
+                    from dorylus_tpu.ops.degree_spmm import DegreeSpMM as OpCls
+                spmm_op = OpCls(graph.src, graph.dst,
+                                graph.num_vertices, graph.num_vertices,
+                                feature_dim=_max_agg_width(layers, cfg),
+                                gather_dtype=gather_dtype,
+                                static_val=(graph.edge_norm
+                                            if cfg.model == "gcn" else None))
             aux = {"spmm": spmm_op.arrays}
         elif graph.num_vertices > 400_000:
             # Large-V segment_sum cliff (its output falls out of VMEM):

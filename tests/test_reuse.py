@@ -98,3 +98,48 @@ def test_duplicate_edges_and_empty():
                                dense_unit(src, dst, 4) @ h)
     empty = mine_reuse(np.zeros(0, np.int32), np.zeros(0, np.int32), 3)
     assert empty.num_pairs == 0 and len(empty.src) == 0
+
+
+def _overlap_graph_obj():
+    from dorylus_tpu.graph.graph import Graph
+    src, dst = clustered_graph(num_vertices=800, communities=16, deg=14,
+                               seed=3)
+    rng = np.random.default_rng(4)
+    labels = ((np.arange(800) * 5) // 800).astype(np.int32)
+    feats = rng.normal(0, 1, size=(800, 24)).astype(np.float32)
+    feats += 0.6 * rng.normal(0, 1, size=(5, 24)).astype(np.float32)[labels]
+    g = Graph(num_vertices=800, src=src, dst=dst, features=feats,
+              labels=labels, num_classes=5)
+    return g.finalize()
+
+
+@pytest.mark.parametrize("model,lr", [("gcn", 0.01), ("gat", 0.005)])
+def test_engine_reuse_matches_plain(model, lr):
+    """kernel=hyb with --reuse pairs trains to the same trajectory as
+    plain hyb (the rewrite is exact; only fp reassociation differs)."""
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+
+    g = _overlap_graph_obj()
+    layers = LayerConfig([24, 12, 5])
+    kw = dict(model=model, learning_rate=lr, epochs=6, eval_every=0,
+              kernel="hyb")
+    rep0 = Engine(g, layers, TrainConfig(**kw)).run()
+    eng1 = Engine(g, layers, TrainConfig(reuse="pairs", **kw))
+    assert eng1.model.spmm_op.plan_fwd.num_pairs > 0
+    rep1 = eng1.run()
+    l0 = np.array([e.loss for e in rep0.epochs])
+    l1 = np.array([e.loss for e in rep1.epochs])
+    np.testing.assert_allclose(l1, l0, rtol=2e-3, atol=2e-3)
+
+
+def test_engine_reuse_requires_hyb_falls_back():
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+
+    g = _overlap_graph_obj()
+    eng = Engine(g, LayerConfig([24, 12, 5]),
+                 TrainConfig(reuse="pairs", kernel="degree", epochs=1,
+                             eval_every=0))
+    from dorylus_tpu.ops.degree_spmm import DegreeSpMM
+    assert isinstance(eng.model.spmm_op, DegreeSpMM)  # graceful fallback
