@@ -111,6 +111,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: program shapes are paid once per machine,
+    # ever (verified through the tunnel, tools/probe_compile_cache.py) —
+    # most of this script's cold wall time is compiles.
+    from dorylus_tpu.common.cache import enable_compile_cache
+    enable_compile_cache()
+
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
     from dorylus_tpu.ops.degree_spmm import DegreeSpMM, spmm_degree
     from dorylus_tpu.ops.hyb_spmm import HybSpMM, spmm_hyb

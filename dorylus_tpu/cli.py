@@ -78,6 +78,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "single shard")
     p.add_argument("--reuse-passes", type=int, default=1,
                    help="pair-mining hierarchy depth (2 = pairs-of-pairs)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR|off",
+                   help="persistent XLA compile cache dir (default: "
+                        "$DORYLUS_COMPILE_CACHE or ~/.cache/dorylus_tpu/"
+                        "xla; 'off' disables). Compiles are paid once per "
+                        "program shape per machine, ever — incl. through "
+                        "the remote-TPU tunnel")
     p.add_argument("--staleness", type=int, default=None,
                    help="bounded-staleness async mode (pipeline.cpp:95-102): "
                         "gradients may be computed against weights up to N "
@@ -119,6 +125,7 @@ def cmd_train(args) -> int:
         num_shards=args.shards, edge_chunk=args.edge_chunk,
         kernel=args.kernel, epochs_per_call=args.epochs_per_call,
         reuse=args.reuse, reuse_passes=args.reuse_passes,
+        compile_cache=args.compile_cache,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         agg_dtype="bfloat16" if args.agg_bf16 else "float32",
         staleness=args.staleness,

@@ -147,6 +147,13 @@ class TrainConfig:
     reuse: str = "off"
     reuse_passes: int = 1  # hierarchy depth (pairs-of-pairs beyond 1)
 
+    # Persistent XLA compile cache (common/cache.py): None = default on
+    # (DORYLUS_COMPILE_CACHE env or ~/.cache/dorylus_tpu/xla); "off"
+    # disables; any path overrides. Verified through the remote tunnel
+    # (tools/probe_compile_cache.py) — compiles are paid once per program
+    # shape per machine, ever.
+    compile_cache: Optional[str] = None
+
     # Checkpointing (an improvement over the reference, which has none).
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # 0 = disabled

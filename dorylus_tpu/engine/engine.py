@@ -110,6 +110,8 @@ class Engine:
         assert layers.feature_dim == graph.features.shape[1], (
             "feature dim mismatch vs layer config "  # engine/utils.cpp:510
             f"({graph.features.shape[1]} vs {layers.feature_dim})")
+        from dorylus_tpu.common.cache import enable_compile_cache
+        enable_compile_cache(cfg.compile_cache)
         self.graph = graph
         self.layers = layers
         if cfg.edge_chunk == 0 and graph.num_edges > (1 << 23):

@@ -233,6 +233,8 @@ class ShardedEngine:
     def __init__(self, graph: Graph, layers: LayerConfig, cfg: TrainConfig,
                  mesh: Optional[Mesh] = None, partition_method: str = "range",
                  parts: Optional[np.ndarray] = None):
+        from dorylus_tpu.common.cache import enable_compile_cache
+        enable_compile_cache(cfg.compile_cache)
         self.graph = graph
         self.layers = layers
         self.cfg = cfg
