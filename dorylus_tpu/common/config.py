@@ -140,9 +140,14 @@ class TrainConfig:
     # Pair reuse ("off" | "pairs"): mine common neighbor pairs into
     # appended gather-table rows (graph/reuse.py) — exact for both models
     # (GCN rank-1 norms, GAT dst-only attention). The gather is ROW-rate-
-    # bound (tools/probe_narrow_gather.py), so the row reduction converts
-    # ~1:1 into aggregation time on overlap-heavy (real) graphs; a
-    # uniform-random graph yields ~no pairs and falls back gracefully.
+    # bound (tools/probe_narrow_gather.py). Measured on v5e community
+    # graphs (benchmarks/results/reuse_r3.json): at V=1.6M/E=24M the
+    # -27%/-33% row cut (passes=1/2) converts SUPER-linearly — 77.5 ->
+    # 126/145 M edges/s (1.6-1.9x) — because the table already sits in
+    # the slow >64MB gather regime. At Reddit scale (V=233k) it LOSES:
+    # appended pair rows push the 60 MB table over the regime cliff.
+    # A uniform-random graph yields ~no pairs and falls back gracefully.
+    # Mining is host-side, one-time (~70s/pass at 24M edges).
     # Single-shard hyb kernel only.
     reuse: str = "off"
     reuse_passes: int = 1  # hierarchy depth (pairs-of-pairs beyond 1)

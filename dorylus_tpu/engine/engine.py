@@ -163,6 +163,15 @@ class Engine:
                 if cfg.reuse == "pairs":
                     log("pair reuse requires kernel=hyb (have %s) — off",
                         cfg.kernel)
+                elif (cfg.kernel == "hyb" and cfg.num_shards == 1
+                      and graph.num_vertices > 1_000_000):
+                    # Large tables sit in the slow gather regime, where
+                    # the row reduction converts >1:1: measured 1.6-1.9x
+                    # at V=1.6M on a community graph
+                    # (benchmarks/results/reuse_r3.json); no-op on
+                    # uniform-random graphs (no repeated pairs).
+                    log("hint: --reuse pairs cuts aggregation 1.6-1.9x at "
+                        ">1M vertices on overlap-heavy (real) graphs")
                 if cfg.kernel == "hyb":
                     from dorylus_tpu.ops.hyb_spmm import HybSpMM as OpCls
                 else:

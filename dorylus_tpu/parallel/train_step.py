@@ -258,6 +258,12 @@ class ShardedEngine:
             self.cfg = cfg
         spmm_op = None
         spmm_split = None
+        if cfg.reuse != "off":
+            # Pair rewrites are per-shard-rectangular-block incompatible
+            # with the shared-DP uniform plans (pair rows would need
+            # cross-shard build gathers); single-device engine only.
+            log("pair reuse is single-shard only — off (engine.Engine "
+                "supports --reuse pairs)")
         stacked = self.sharded.stacked()
         if cfg.kernel in ("degree", "hyb"):
             # Per-shard slot plans padded to uniform shapes (degree:
