@@ -209,6 +209,60 @@ def main():
 
     dt_ew = time_loop(agg_ew, h, src, dst, val, iters=iters)
 
+    # --- extras: pair reuse at large V (the lever past the row-rate wall).
+    # The headline graph is uniform-random (mines ~no pairs by
+    # construction), so the algorithmic lever is benched on its target
+    # workload: an overlap-heavy community graph at V=1.6M, where the
+    # bf16 table (410 MB) sits in the slow >64MB gather regime and the
+    # exact row-cut rewrite converts super-linearly
+    # (benchmarks/results/reuse_r3.json). edges/s uses the ORIGINAL edge
+    # count — the rewrite computes the identical operator.
+    reuse_extras = {}
+    if on_tpu:
+        from dorylus_tpu.graph.graph import community_core_edges
+        from dorylus_tpu.graph.reuse import mine_reuse
+        from dorylus_tpu.ops.hyb_spmm import _hyb_pass
+
+        rv, rdeg = 1_600_000, 15
+        rsrc, rdst = community_core_edges(rv, rdeg, comm=400, core=60,
+                                          p_core=0.85, seed=0)
+        re_ = len(rsrc)
+        rh = jnp.asarray(np.random.default_rng(3).normal(
+            0, 0.3, size=(rv, F_HID)).astype(np.float32))
+        op_p = HybSpMM(rsrc, rdst, rv, rv, feature_dim=F_HID,
+                       gather_dtype=jnp.bfloat16)
+
+        def plain_pass(h, arrs):
+            return _hyb_pass(h, arrs, rv, "mask", None, jnp.bfloat16)
+
+        dt_plain = time_loop(plain_pass, rh, op_p.arrays["fwd"], iters=iters)
+        del op_p
+        t0 = time.perf_counter()
+        rplan = mine_reuse(rsrc, rdst, rv, min_uses=3, passes=2)
+        mine_s = time.perf_counter() - t0
+        op_r = HybSpMM(rplan.src, rplan.dst, rplan.table_size, rv,
+                       feature_dim=F_HID, gather_dtype=jnp.bfloat16)
+        lvls = tuple(jnp.asarray(l) for l in rplan.levels)
+
+        def reuse_pass(h, arrs, *lvls):
+            tbl = h
+            for p in lvls:
+                tbl = jnp.concatenate([tbl, tbl[p[:, 0]] + tbl[p[:, 1]]])
+            return _hyb_pass(tbl, arrs, rv, "mask", None, jnp.bfloat16)
+
+        dt_reuse = time_loop(reuse_pass, rh, op_r.arrays["fwd"], *lvls,
+                             iters=iters)
+        del op_r
+        reuse_extras = {
+            "reuse_largev_V": rv,
+            "reuse_largev_E": re_,
+            "reuse_largev_plain_edges_per_s": round(re_ / dt_plain, 1),
+            "reuse_largev_edges_per_s": round(re_ / dt_reuse, 1),
+            "reuse_largev_speedup": round(dt_plain / dt_reuse, 3),
+            "reuse_row_cut": round(rplan.stats["row_reduction"], 3),
+            "reuse_mine_s": round(mine_s, 1),
+        }
+
     # --- baseline: host-CPU scipy CSR SpMM (reference CPU-mode analog) ---
     cpu_eps = cpu_spmm_baseline(g, np.asarray(h))
 
@@ -255,6 +309,7 @@ def main():
             "gcn_reddit_config_epoch_bf16_ms": round(epoch_gcn_bf16, 2),
             "gat_reddit_config_epoch_ms": round(epoch_gat, 2),
             "gat_reddit_config_epoch_bf16_ms": round(epoch_gat_bf16, 2),
+            **reuse_extras,
         },
     }))
 

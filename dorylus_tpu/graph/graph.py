@@ -199,3 +199,28 @@ def clustered_synthetic_graph(
     g = Graph(num_vertices=v, src=src, dst=dst, features=feats,
               labels=labels, num_classes=num_classes)
     return g.finalize()
+
+
+def community_core_edges(v: int, deg: int, comm: int = 500, core: int = 80,
+                         p_core: float = 0.8, seed: int = 0):
+    """Community-core edge list: each vertex draws most in-neighbors
+    Zipf-weighted from its community's small popular core. This is the
+    real-social-graph shape where neighbor LISTS overlap (distinct from
+    clustered_synthetic_graph's locality-without-overlap), i.e. the
+    workload HAG-style pair reuse (graph/reuse.py) was designed for; a
+    uniform-random graph yields ~no repeated pairs by construction.
+    Returns (src, dst) int32, dst-ascending (CSC)."""
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, core + 1) ** 0.9
+    w /= w.sum()
+    dst = np.repeat(np.arange(v, dtype=np.int64), deg)
+    base = (dst // comm) * comm
+    pick_core = rng.random(len(dst)) < p_core
+    core_idx = rng.choice(core, size=len(dst), p=w)
+    rand_idx = rng.integers(0, comm, size=len(dst))
+    src = base + np.where(pick_core, core_idx, rand_idx)
+    src = np.minimum(src, v - 1)
+    keep = src != dst
+    src, dst = src[keep].astype(np.int32), dst[keep].astype(np.int32)
+    o = np.argsort(dst, kind="stable")
+    return src[o], dst[o]

@@ -133,6 +133,22 @@ def test_engine_reuse_matches_plain(model, lr):
     np.testing.assert_allclose(l1, l0, rtol=2e-3, atol=2e-3)
 
 
+def test_community_core_edges_mines_pairs():
+    """The packaged benchmark generator (graph/graph.py) must produce the
+    overlap-heavy shape pair mining targets, in CSC order, and the mined
+    rewrite must stay exact on it."""
+    from dorylus_tpu.graph.graph import community_core_edges
+
+    src, dst = community_core_edges(4000, 10, comm=200, core=30, seed=5)
+    assert (np.diff(dst) >= 0).all() and (src != dst).all()
+    plan = mine_reuse(src, dst, 4000, min_uses=3)
+    assert plan.stats["row_reduction"] > 0.10
+    h = np.random.default_rng(6).normal(size=(4000, 3))
+    np.testing.assert_allclose(apply_rewritten(plan, h),
+                               dense_unit(src, dst, 4000) @ h,
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_engine_reuse_requires_hyb_falls_back():
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
     from dorylus_tpu.engine.engine import Engine

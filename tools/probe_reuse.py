@@ -33,23 +33,10 @@ COMM = 500  # community size
 
 
 def community_graph(v=V, deg=DEG, comm=COMM, core=80, p_core=0.8, seed=0):
-    rng = np.random.default_rng(seed)
-    n_comm = -(-v // comm)
-    # Zipf-ish popularity over each community's core members.
-    w = 1.0 / np.arange(1, core + 1) ** 0.9
-    w /= w.sum()
-    dst = np.repeat(np.arange(v, dtype=np.int64), deg)
-    cid = dst // comm
-    base = cid * comm
-    pick_core = rng.random(len(dst)) < p_core
-    core_idx = rng.choice(core, size=len(dst), p=w)
-    rand_idx = rng.integers(0, comm, size=len(dst))
-    src = base + np.where(pick_core, core_idx, rand_idx)
-    src = np.minimum(src, v - 1)
-    keep = src != dst
-    src, dst = src[keep].astype(np.int32), dst[keep].astype(np.int32)
-    o = np.argsort(dst, kind="stable")
-    return src[o], dst[o]
+    # Moved into the package (same RNG sequence — measured numbers stand).
+    from dorylus_tpu.graph.graph import community_core_edges
+    return community_core_edges(v, deg, comm=comm, core=core,
+                                p_core=p_core, seed=seed)
 
 
 def timeit(fn, args, iters=10, tag="", edges=1):
