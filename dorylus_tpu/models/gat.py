@@ -145,8 +145,30 @@ class GAT:
                     az = att = None
                     arrays = (batch.aux or {}).get("spmm",
                                                    self.spmm_op.arrays)
-                    agg = self.spmm_op.apply_dst(
-                        arrays, table, leaky_relu(za)).astype(z.dtype)
+                    from dorylus_tpu.models.gcn import AGG_CLIFF_BYTES
+                    if (halo is None and z.shape[1] < 128
+                            and h.shape[1] <= 128
+                            and getattr(self.spmm_op, "gather_itemsize",
+                                        4) == 2
+                            and h.shape[0] * z.shape[1] * 2
+                            >= AGG_CLIFF_BYTES):
+                        # Regime-aware ordering: dst-only attention
+                        # factors through the transform — sum_u A_e z_u =
+                        # att_v * (sum_u h_u) @ W — so past the gather
+                        # cliff aggregate h at its (<=128-lane) input
+                        # width instead of the narrow z (see
+                        # AGG_CLIFF_BYTES in models/gcn.py; measured
+                        # tools/probe_reuse_width.py). The extra matmul
+                        # is the same shape as h @ W (MXU-cheap).
+                        u = self.spmm_op.apply_dst(arrays, h,
+                                                   jnp.ones_like(za))
+                        agg = (jnp.dot(
+                            u, params[f"w{l}"].astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+                            * leaky_relu(za)[:, None]).astype(z.dtype)
+                    else:
+                        agg = self.spmm_op.apply_dst(
+                            arrays, table, leaky_relu(za)).astype(z.dtype)
                 else:
                     # Sorted-VJP gather: the backward of za[dst] is
                     # otherwise an |E|-sized scatter-add into (Vp,).

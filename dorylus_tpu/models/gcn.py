@@ -30,6 +30,16 @@ HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
 # A HaloFn maps local H -> feature table (local rows + received ghost rows).
 # Single-device: identity. Sharded: parallel.halo.halo_exchange.
 
+# Gather-regime cliff for bf16 aggregation tables (v5e): below ~64 MB the
+# slot gather runs at the fast ~328 M rows/s regime where narrower tables
+# mean fewer bytes; at/above it the gather is ROW-rate-bound and rows pad
+# to the 128-lane vreg anyway, so aggregating at a sub-128 width only adds
+# cost (measured at V=1.6M, F=32 vs 128: fwd 397 vs 309 ms, grad 918 vs
+# 663 — tools/probe_reuse_width.py; regime map
+# benchmarks/results/largev_probe_r2.json). Models consult this to decide
+# transform-first vs aggregate-first per layer.
+AGG_CLIFF_BYTES = 64 << 20
+
 
 class GCN:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
@@ -153,6 +163,15 @@ class GCN:
             w = params[f"w{l}"].astype(compute_dtype)
             transform_first = (self.optimize_order and not return_intermediates
                                and w.shape[0] > w.shape[1])
+            if (transform_first and halo is None and w.shape[1] < 128
+                    and getattr(self.spmm_op, "gather_itemsize", 4) == 2
+                    and h.shape[0] * w.shape[1] * 2 >= AGG_CLIFF_BYTES):
+                # Regime-aware ordering (see AGG_CLIFF_BYTES): past the
+                # gather cliff the row-rate-bound pass gains nothing from
+                # a narrow table — aggregate at the input width when it
+                # fits one vreg row (<= 128 lanes); a >128-wide input
+                # still transforms first (fewer vregs per gathered row).
+                transform_first = w.shape[0] > 128
             # When the batch carries the interior/boundary split, `halo`
             # returns ghost rows only (parallel.halo.halo_recv) and the
             # split path is used; otherwise `halo` builds the full table.

@@ -451,6 +451,12 @@ class DegreeSpMM:
     def apply(self, arrays, h, val):
         return degree_spmm_apply(self.static, arrays, h, val)
 
+    @property
+    def gather_itemsize(self) -> int:
+        """Bytes per element of the gather table (4 = f32, 2 = bf16)."""
+        gdt = self.static[3]
+        return 4 if gdt is None else jnp.dtype(gdt).itemsize
+
     def apply_dst(self, arrays, h, dst_val):
         """Edge weight = dst_val[dst[e]] (Dorylus GAT attention) — no
         per-edge arrays anywhere; see degree_spmm_dst_apply."""

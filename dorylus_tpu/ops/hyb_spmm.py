@@ -478,6 +478,13 @@ class HybSpMM:
                        None if gather_dtype is None
                        else jnp.dtype(gather_dtype), e) + n_iso
 
+    @property
+    def gather_itemsize(self) -> int:
+        """Bytes per element of the gather table (4 = f32, 2 = bf16) —
+        models consult this for regime-aware aggregation ordering."""
+        gdt = self.static[2]
+        return 4 if gdt is None else jnp.dtype(gdt).itemsize
+
     def apply(self, arrays, h, val):
         return hyb_spmm_apply(self.static, arrays, h, val)
 

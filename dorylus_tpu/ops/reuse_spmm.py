@@ -110,6 +110,12 @@ class ReuseSpMM:
                        None if gather_dtype is None
                        else jnp.dtype(gather_dtype)) + tuple(n_iso)
 
+    @property
+    def gather_itemsize(self) -> int:
+        """Bytes per element of the gather table (4 = f32, 2 = bf16)."""
+        gdt = self.static[2]
+        return 4 if gdt is None else jnp.dtype(gdt).itemsize
+
     def apply_static(self, arrays, h):
         """GCN factorized norms: diag(f) · A_unit · diag(f) · h."""
         f = arrays["f"].astype(h.dtype)[:, None]
