@@ -32,15 +32,43 @@ from dorylus_tpu.ops.activations import accuracy_and_loss, row_softmax
 from dorylus_tpu.optim.adam import AdamState, adam_init, adam_update, sgd_update
 
 
-def _max_agg_width(layers: LayerConfig, cfg: TrainConfig) -> int:
+def _max_agg_width(layers: LayerConfig, cfg: TrainConfig,
+                   num_vertices: int = 0) -> int:
     """Widest feature dim the SpMM will see. GCN with optimize_order
     aggregates at min(in, out) per layer (transform-first when shrinking);
-    GAT aggregates z, i.e. the output width."""
+    GAT aggregates z, i.e. the output width.
+
+    Regime rule (models/gcn.py past_agg_cliff): past the bf16 gather
+    cliff a layer instead aggregates at its INPUT width when that fits
+    one vreg row (<=128 lanes) — pass num_vertices (the gather-table
+    rows) to include those widths in the estimate. All widths <=128 pad
+    to the same 128-lane vreg, so per-row-byte consumers (the hyb
+    bucket-width DP, the degree OOM guard which clamps eff_f at 128)
+    are indifferent among them; the estimate only shifts when a regime
+    input width exceeds the static min(in, out)."""
+    from dorylus_tpu.models.gcn import past_agg_cliff
+
+    class _G:  # gather_itemsize duck for past_agg_cliff
+        gather_itemsize = 2 if cfg.agg_dtype == "bfloat16" else 4
+
     dims = layers.dims
+    widths = []
     if cfg.model == "gat":
-        return max(dims[1:])
+        for a, b in zip(dims, dims[1:]):
+            w = b
+            if (num_vertices and a <= 128
+                    and past_agg_cliff(_G, num_vertices, b)):
+                w = max(w, a)  # regime path aggregates h at the input width
+            widths.append(w)
+        return max(widths)
     if cfg.optimize_order:
-        return max(min(a, b) for a, b in zip(dims, dims[1:]))
+        for a, b in zip(dims, dims[1:]):
+            w = min(a, b)
+            if (num_vertices and a > b and a <= 128
+                    and past_agg_cliff(_G, num_vertices, b)):
+                w = a  # transform-first flips to aggregate-first at width a
+            widths.append(w)
+        return max(widths)
     return max(dims[:-1])
 
 
@@ -149,7 +177,8 @@ class Engine:
                 spmm_op = ReuseSpMM(
                     graph.src, graph.dst,
                     graph.num_vertices, graph.num_vertices,
-                    feature_dim=_max_agg_width(layers, cfg),
+                    feature_dim=_max_agg_width(layers, cfg,
+                                               graph.num_vertices),
                     gather_dtype=gather_dtype,
                     rank1_factor=(np.sqrt(graph.self_norm)
                                   if cfg.model == "gcn" else None),
@@ -178,7 +207,8 @@ class Engine:
                     from dorylus_tpu.ops.degree_spmm import DegreeSpMM as OpCls
                 spmm_op = OpCls(graph.src, graph.dst,
                                 graph.num_vertices, graph.num_vertices,
-                                feature_dim=_max_agg_width(layers, cfg),
+                                feature_dim=_max_agg_width(layers, cfg,
+                                                           graph.num_vertices),
                                 gather_dtype=gather_dtype,
                                 static_val=(graph.edge_norm
                                             if cfg.model == "gcn" else None))

@@ -145,13 +145,10 @@ class GAT:
                     az = att = None
                     arrays = (batch.aux or {}).get("spmm",
                                                    self.spmm_op.arrays)
-                    from dorylus_tpu.models.gcn import AGG_CLIFF_BYTES
-                    if (halo is None and z.shape[1] < 128
-                            and h.shape[1] <= 128
-                            and getattr(self.spmm_op, "gather_itemsize",
-                                        4) == 2
-                            and h.shape[0] * z.shape[1] * 2
-                            >= AGG_CLIFF_BYTES):
+                    from dorylus_tpu.models.gcn import past_agg_cliff
+                    if (halo is None and h.shape[1] <= 128
+                            and past_agg_cliff(self.spmm_op, h.shape[0],
+                                               z.shape[1])):
                         # Regime-aware ordering: dst-only attention
                         # factors through the transform — sum_u A_e z_u =
                         # att_v * (sum_u h_u) @ W — so past the gather
@@ -160,8 +157,10 @@ class GAT:
                         # AGG_CLIFF_BYTES in models/gcn.py; measured
                         # tools/probe_reuse_width.py). The extra matmul
                         # is the same shape as h @ W (MXU-cheap).
-                        u = self.spmm_op.apply_dst(arrays, h,
-                                                   jnp.ones_like(za))
+                        # apply_unit = the ops' unit-weight entry point:
+                        # no (V,F) ones multiply forward, no O(V·F)
+                        # row-dot backward for a constant cotangent.
+                        u = self.spmm_op.apply_unit(arrays, h)
                         agg = (jnp.dot(
                             u, params[f"w{l}"].astype(compute_dtype),
                             preferred_element_type=jnp.float32)

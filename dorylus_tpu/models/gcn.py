@@ -41,6 +41,18 @@ HaloFn = Callable[[jnp.ndarray], jnp.ndarray]
 AGG_CLIFF_BYTES = 64 << 20
 
 
+def past_agg_cliff(op, n_rows: int, narrow_width: int) -> bool:
+    """True when a bf16 gather table of (n_rows, narrow_width) already sits
+    past the row-rate-bound regime cliff — the single predicate both models
+    use for regime-aware aggregation ordering (a narrow table gains nothing
+    there; rows pad to the 128-lane vreg anyway, see AGG_CLIFF_BYTES above).
+    Reads AGG_CLIFF_BYTES late (module attribute) so tests can monkeypatch
+    the cliff."""
+    return (narrow_width < 128
+            and getattr(op, "gather_itemsize", 4) == 2
+            and n_rows * narrow_width * 2 >= AGG_CLIFF_BYTES)
+
+
 class GCN:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
                  edge_chunk: int = 0, optimize_order: bool = True,
@@ -163,9 +175,9 @@ class GCN:
             w = params[f"w{l}"].astype(compute_dtype)
             transform_first = (self.optimize_order and not return_intermediates
                                and w.shape[0] > w.shape[1])
-            if (transform_first and halo is None and w.shape[1] < 128
-                    and getattr(self.spmm_op, "gather_itemsize", 4) == 2
-                    and h.shape[0] * w.shape[1] * 2 >= AGG_CLIFF_BYTES):
+            if (transform_first and halo is None
+                    and past_agg_cliff(self.spmm_op, h.shape[0],
+                                       w.shape[1])):
                 # Regime-aware ordering (see AGG_CLIFF_BYTES): past the
                 # gather cliff the row-rate-bound pass gains nothing from
                 # a narrow table — aggregate at the input width when it

@@ -349,6 +349,37 @@ degree_spmm_dst_apply.defvjp(_dst_fwd, _dst_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def degree_spmm_unit_apply(static, arrs, h):
+    """Unit edge weights: out[v] = sum_{live e: dst e = v} h[src e]. The
+    regime-aware GAT ordering aggregates h unweighted (models/gat.py);
+    this skips the ones-multiply forward and constant-cotangent row-dot
+    backward apply_dst would otherwise build."""
+    return _dst_unit_fwd(static, arrs, h)
+
+
+def _unit_fwd(static, arrs, h):
+    return _dst_unit_fwd(static, arrs, h), (arrs, h)
+
+
+def _unit_bwd(static, res, gout):
+    arrs, h = res
+    num_in, _, row_chunk, gdt = static[:4]
+    bwd_obr, sentinel = static[5], static[6]
+    bplan = arrs["bwd"]
+    dh_full = _degree_pass(gout.astype(jnp.float32), bplan, num_in, None,
+                           row_chunk, gdt, out_block_rows=bwd_obr,
+                           vals=_slot_live(bplan, sentinel))
+    dh = dh_full[: h.shape[0]].astype(h.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh
+
+
+degree_spmm_unit_apply.defvjp(_unit_fwd, _unit_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def degree_spmm_static_apply(static, arrs, h):
     """SpMM with STATIC edge values baked into the plans as (R, B) slot
     arrays ("vals", built host-side at construction). GCN norms never
@@ -461,6 +492,11 @@ class DegreeSpMM:
         """Edge weight = dst_val[dst[e]] (Dorylus GAT attention) — no
         per-edge arrays anywhere; see degree_spmm_dst_apply."""
         return degree_spmm_dst_apply(self.static, arrays, h, dst_val)
+
+    def apply_unit(self, arrays, h):
+        """Unit-weight aggregation (live edges only); see
+        degree_spmm_unit_apply."""
+        return degree_spmm_unit_apply(self.static, arrays, h)
 
     def apply_static(self, arrays, h):
         """Construction-time edge values (static_val): no runtime value

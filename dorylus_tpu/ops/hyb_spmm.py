@@ -411,6 +411,36 @@ hyb_spmm_dst_apply.defvjp(_dst_fwd, _dst_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hyb_spmm_unit_apply(static, arrs, h):
+    """Unit edge weights: out[v] = sum_{u->v} h[u]. The regime-aware GAT
+    ordering (models/gat.py) aggregates h unweighted; this entry point
+    skips the (V, F) ones-multiply forward and the O(V·F) attention
+    row-dot backward that apply_dst with a ones vector would build and
+    leave for DCE."""
+    _, num_out, gdt, _, ni, _ = static
+    return _hyb_pass(h, arrs["fwd"], num_out, "mask", None, gdt, n_iso=ni)
+
+
+def _unit_fwd(static, arrs, h):
+    return hyb_spmm_unit_apply(static, arrs, h), (arrs, h)
+
+
+def _unit_bwd(static, res, gout):
+    arrs, h = res
+    num_in, _, gdt, _, _, nib = static
+    dh_full = _hyb_pass(gout, arrs["bwd"], num_in, "mask", None, gdt,
+                        n_iso=nib)
+    dh = dh_full[: h.shape[0]].astype(h.dtype)
+    d_arrs = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+    return d_arrs, dh
+
+
+hyb_spmm_unit_apply.defvjp(_unit_fwd, _unit_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def hyb_spmm_static_apply(static, arrs, h):
     """Construction-time edge values (GCN norms) baked into the plans —
     no runtime value gather (tools/probe_static_vals.py)."""
@@ -490,6 +520,9 @@ class HybSpMM:
 
     def apply_dst(self, arrays, h, dst_val):
         return hyb_spmm_dst_apply(self.static, arrays, h, dst_val)
+
+    def apply_unit(self, arrays, h):
+        return hyb_spmm_unit_apply(self.static, arrays, h)
 
     def apply_static(self, arrays, h):
         return hyb_spmm_static_apply(self.static, arrays, h)

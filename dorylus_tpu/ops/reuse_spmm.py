@@ -127,6 +127,10 @@ class ReuseSpMM:
         u = reuse_unit_pass(self.static, arrays, h)
         return u * dst_val.astype(u.dtype)[:, None]
 
+    def apply_unit(self, arrays, h):
+        """Unit-weight aggregation (the regime-aware GAT ordering)."""
+        return reuse_unit_pass(self.static, arrays, h)
+
     def apply(self, arrays, h, val):
         raise NotImplementedError(
             "pair reuse requires factorizable edge weights; dynamic "

@@ -273,7 +273,8 @@ class ShardedEngine:
                 from dorylus_tpu.ops.hyb_sharded import ShardedHybSpMM as Op
             else:
                 from dorylus_tpu.ops.degree_sharded import ShardedDegreeSpMM as Op
-            kw = dict(feature_dim=_max_agg_width(layers, cfg),
+            kw = dict(feature_dim=_max_agg_width(layers, cfg,
+                                                 self.sharded.vp),
                       gather_dtype=(jnp.bfloat16
                                     if cfg.agg_dtype == "bfloat16" else None),
                       static_vals=cfg.model == "gcn")
