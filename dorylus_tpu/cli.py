@@ -78,6 +78,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "single shard")
     p.add_argument("--reuse-passes", type=int, default=1,
                    help="pair-mining hierarchy depth (2 = pairs-of-pairs)")
+    p.add_argument("--reuse-max-pairs", type=int, default=-1,
+                   help="pair budget per mining pass: -1 = auto (cap so a "
+                        "below-cliff gather table stays below the 64 MB "
+                        "regime cliff; unlimited past it), 0 = unlimited, "
+                        "N = keep the N highest-count pairs")
     p.add_argument("--compile-cache", default=None, metavar="DIR|off",
                    help="persistent XLA compile cache dir (default: "
                         "$DORYLUS_COMPILE_CACHE or ~/.cache/dorylus_tpu/"
@@ -125,6 +130,7 @@ def cmd_train(args) -> int:
         num_shards=args.shards, edge_chunk=args.edge_chunk,
         kernel=args.kernel, epochs_per_call=args.epochs_per_call,
         reuse=args.reuse, reuse_passes=args.reuse_passes,
+        reuse_max_pairs=args.reuse_max_pairs,
         compile_cache=args.compile_cache,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         agg_dtype="bfloat16" if args.agg_bf16 else "float32",

@@ -151,6 +151,13 @@ class TrainConfig:
     # Single-shard hyb kernel only.
     reuse: str = "off"
     reuse_passes: int = 1  # hierarchy depth (pairs-of-pairs beyond 1)
+    # Pair budget per mining pass: -1 = auto (when the BASE table sits
+    # below the gather cliff, cap pairs so appended rows cannot push it
+    # over — the measured Reddit-scale failure mode; unlimited when the
+    # table is already past the cliff, the regime where reuse wins),
+    # 0 = unlimited, >0 = explicit cap (mine_reuse keeps the
+    # highest-count pairs).
+    reuse_max_pairs: int = -1
 
     # Persistent XLA compile cache (common/cache.py): None = default on
     # (DORYLUS_COMPILE_CACHE env or ~/.cache/dorylus_tpu/xla); "off"

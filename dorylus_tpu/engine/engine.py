@@ -168,7 +168,33 @@ class Engine:
                     "throughput at >1M vertices (f32 must edge-chunk)")
             gather_dtype = (jnp.bfloat16 if cfg.agg_dtype == "bfloat16"
                             else None)
-            if cfg.reuse == "pairs" and cfg.kernel == "hyb":
+            reuse_on = cfg.reuse == "pairs" and cfg.kernel == "hyb"
+            if reuse_on:
+                # Pair budget (reuse_max_pairs): auto (-1) caps appended
+                # pair rows so a BELOW-cliff table stays below the gather
+                # regime cliff — the measured Reddit-scale loss mode
+                # (appended rows crossed 64 MB and cost 1.75x,
+                # benchmarks/results/reuse_r3.json); past the cliff the
+                # row cut converts super-linearly and no cap applies.
+                width = _max_agg_width(layers, cfg, graph.num_vertices)
+                item = 2 if cfg.agg_dtype == "bfloat16" else 4
+                cap = cfg.reuse_max_pairs
+                if cap < 0:
+                    from dorylus_tpu.models.gcn import AGG_CLIFF_BYTES
+                    if graph.num_vertices * width * item < AGG_CLIFF_BYTES:
+                        cap = (AGG_CLIFF_BYTES // (width * item)
+                               - graph.num_vertices)
+                        log("reuse auto pair budget: %d per pass (keeps "
+                            "the %d-wide table under the gather cliff)",
+                            cap, width)
+                    else:
+                        cap = 0  # already past the cliff: unlimited
+                if cfg.reuse_max_pairs < 0 and 0 < cap < 1024:
+                    log("reuse auto pair budget %d is too small to pay "
+                        "(< 1024) — reuse off; pass --reuse-max-pairs to "
+                        "force", cap)
+                    reuse_on = False
+            if reuse_on:
                 # Pair-reuse rewrite (graph/reuse.py): both models have
                 # unit-weight inner sums (GCN via the rank-1 norm
                 # factorization f(src)·f(dst), GAT via dst-only
@@ -177,19 +203,18 @@ class Engine:
                 spmm_op = ReuseSpMM(
                     graph.src, graph.dst,
                     graph.num_vertices, graph.num_vertices,
-                    feature_dim=_max_agg_width(layers, cfg,
-                                               graph.num_vertices),
+                    feature_dim=width,
                     gather_dtype=gather_dtype,
                     rank1_factor=(np.sqrt(graph.self_norm)
                                   if cfg.model == "gcn" else None),
-                    passes=cfg.reuse_passes)
+                    passes=cfg.reuse_passes, max_pairs=cap)
                 st = spmm_op.plan_fwd.stats
                 log("pair reuse: %d fwd pairs, gathered rows %d -> %d "
                     "(-%.1f%%)", spmm_op.plan_fwd.num_pairs,
                     st["rows_before"], st["rows_after"],
                     100 * st["row_reduction"])
             else:
-                if cfg.reuse == "pairs":
+                if cfg.reuse == "pairs" and cfg.kernel != "hyb":
                     log("pair reuse requires kernel=hyb (have %s) — off",
                         cfg.kernel)
                 elif (cfg.kernel == "hyb" and cfg.num_shards == 1

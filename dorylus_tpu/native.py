@@ -53,6 +53,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gc_parse_edges.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        i32p, i32p]
         lib.gc_parse_edges.restype = ctypes.c_int64
+    if lib.gc_version() >= 3:
+        lib.gc_mine_pairs.argtypes = [i32p, i32p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int32,
+                                      ctypes.c_int64, i32p, i32p,
+                                      i32p, i32p, i64p]
+        lib.gc_mine_pairs.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -143,6 +149,42 @@ def parse_edges(path) -> tuple[np.ndarray, np.ndarray]:
     finally:
         del view
         buf.close()
+
+
+def has_mine_pairs() -> bool:
+    lib = _load()
+    return lib is not None and lib.gc_version() >= 3
+
+
+def mine_pairs_native(src: np.ndarray, dst: np.ndarray, table_size: int,
+                      min_uses: int, max_pairs: int):
+    """One native pair-mining pass (graph/reuse.py _mine_one semantics):
+    returns (pairs (P, 2) int64, src2, dst2, stats). Requires
+    has_mine_pairs(); ~70 s of numpy lexsort passes at 24 M edges run in
+    a few seconds of parallel C++ (native/graphcore.cpp gc_mine_pairs)."""
+    lib = _load()
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    e = len(src)
+    pair_a = np.empty(e // 3 + 1, np.int32)
+    pair_b = np.empty(e // 3 + 1, np.int32)
+    src2 = np.empty(e, np.int32)
+    dst2 = np.empty(e, np.int32)
+    out = np.zeros(3, np.int64)
+    p = lib.gc_mine_pairs(_ptr(src, ctypes.c_int32),
+                          _ptr(dst, ctypes.c_int32), e, table_size,
+                          min_uses, max_pairs,
+                          _ptr(pair_a, ctypes.c_int32),
+                          _ptr(pair_b, ctypes.c_int32),
+                          _ptr(src2, ctypes.c_int32),
+                          _ptr(dst2, ctypes.c_int32),
+                          _ptr(out, ctypes.c_int64))
+    e2, uses, candidates = int(out[0]), int(out[1]), int(out[2])
+    pairs = np.stack([pair_a[:p].astype(np.int64),
+                      pair_b[:p].astype(np.int64)], axis=1)
+    stats = {"candidates": candidates, "pairs": int(p), "uses": uses,
+             "rows_saved": uses - 2 * int(p)}
+    return pairs, src2[:e2].copy(), dst2[:e2].copy(), stats
 
 
 def ldg_partition(src: np.ndarray, dst: np.ndarray, num_v: int,

@@ -80,14 +80,20 @@ class ReuseSpMM:
     def __init__(self, src, dst, num_in: int, num_out: int,
                  max_width: int = 512, gather_dtype=None,
                  feature_dim: int = 128, rank1_factor=None,
-                 min_uses: int = 3, passes: int = 1):
+                 min_uses: int = 3, passes: int = 1, max_pairs: int = 0):
+        """max_pairs: per-pass pair budget (0 = unlimited) — mine_reuse
+        keeps the highest-count pairs, bounding the appended table rows
+        so a below-cliff table cannot be pushed over the gather regime
+        cliff (the measured Reddit-scale failure; engine auto-caps)."""
         assert num_in == num_out, "reuse op is single-shard (square) only"
         src = np.asarray(src)
         dst = np.asarray(dst)
         self.num_in, self.num_out = num_in, num_out
         self.has_static_vals = rank1_factor is not None
-        fwd = mine_reuse(src, dst, num_out, min_uses=min_uses, passes=passes)
-        bwd = mine_reuse(dst, src, num_in, min_uses=min_uses, passes=passes)
+        fwd = mine_reuse(src, dst, num_out, min_uses=min_uses, passes=passes,
+                         max_pairs=max_pairs)
+        bwd = mine_reuse(dst, src, num_in, min_uses=min_uses, passes=passes,
+                         max_pairs=max_pairs)
         self.plan_fwd, self.plan_bwd = fwd, bwd
         pf = build_hyb_plan(fwd.src, fwd.dst, None, num_out, max_width)
         pb = build_hyb_plan(bwd.src, bwd.dst, None, num_in, max_width)

@@ -80,3 +80,56 @@ def test_ldg_refinement_recovers_scrambled_communities(lib_ok):
     assert cut_ref < cut_raw * 0.6, (cut_raw, cut_ref)
     sizes = np.bincount(ref, minlength=4)
     assert sizes.max() <= int(4000 / 4 * 1.05) + 1
+
+
+def test_mine_pairs_native_exact_and_matches_numpy(lib_ok):
+    """gc_mine_pairs must produce an EXACT rewrite (same aggregation
+    operator) and agree with the numpy miner on the aggregate accounting
+    (pair count / uses / rewritten rows may differ only on selection
+    tie-breaks; the operator must always match)."""
+    if not native.has_mine_pairs():
+        pytest.skip("libgraphcore < v3")
+    from dorylus_tpu.graph.reuse import _mine_one
+    from tests.test_reuse import clustered_graph, dense_unit
+
+    src, dst = clustered_graph(num_vertices=500, communities=15, deg=10,
+                               seed=7)
+    v = 500
+    for max_pairs in (0, 25):
+        pairs_n, s_n, d_n, st_n = native.mine_pairs_native(
+            src, dst, v, 3, max_pairs)
+        pairs_p, s_p, d_p, st_p = _mine_one(src, dst, v, 3, max_pairs)
+        if max_pairs:
+            assert len(pairs_n) <= max_pairs
+        assert st_n["candidates"] == st_p["candidates"]
+        # Rewrite exactness: dense operator equality.
+        h = np.random.default_rng(8).normal(size=(v, 4))
+        tbl = np.concatenate([h, h[pairs_n[:, 0]] + h[pairs_n[:, 1]]])
+        out = np.zeros((v, 4))
+        np.add.at(out, d_n, tbl[s_n])
+        np.testing.assert_allclose(out, dense_unit(src, dst, v) @ h,
+                                   rtol=1e-12, atol=1e-12)
+        assert (np.diff(d_n) >= 0).all()  # CSC order for the plan builder
+        # Row accounting: both miners must save a comparable row count.
+        assert st_n["rows_saved"] > 0
+        if not max_pairs:
+            assert st_n["pairs"] == st_p["pairs"]
+            assert st_n["uses"] == st_p["uses"]
+            assert len(s_n) == len(s_p)
+
+
+def test_mine_pairs_native_speed_smoke(lib_ok):
+    """The native miner must stay fast enough for the hermetic suite on a
+    mid-sized graph (the 24M-edge target is benchmarked on TPU tooling)."""
+    if not native.has_mine_pairs():
+        pytest.skip("libgraphcore < v3")
+    import time
+
+    from dorylus_tpu.graph.graph import community_core_edges
+
+    src, dst = community_core_edges(200_000, 12, comm=2000, core=40, seed=9)
+    t0 = time.perf_counter()
+    pairs, s2, d2, st = native.mine_pairs_native(src, dst, 200_000, 3, 0)
+    dt = time.perf_counter() - t0
+    assert st["rows_saved"] > 0.05 * len(src)
+    assert dt < 5.0, f"native mining too slow: {dt:.2f}s for {len(src)} edges"

@@ -149,6 +149,55 @@ def test_community_core_edges_mines_pairs():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_max_pairs_budget_respected_and_exact():
+    """mine_reuse(max_pairs=k) keeps at most k (highest-count) pairs per
+    pass and the capped rewrite stays exact."""
+    src, dst = clustered_graph()
+    full = mine_reuse(src, dst, 600, min_uses=3)
+    assert full.num_pairs > 8
+    k = max(1, full.num_pairs // 4)
+    capped = mine_reuse(src, dst, 600, min_uses=3, max_pairs=k)
+    assert 0 < capped.num_pairs <= k
+    # The budget keeps the most-used pairs: per-row savings must not drop
+    # proportionally faster than the pair count.
+    h = np.random.default_rng(7).normal(size=(600, 4))
+    np.testing.assert_allclose(apply_rewritten(capped, h),
+                               dense_unit(src, dst, 600) @ h,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_engine_auto_budget_below_cliff(monkeypatch):
+    """Below the gather cliff the engine caps pairs so the table cannot
+    cross it (reuse_max_pairs=-1 auto); an explicit budget is honored."""
+    import dorylus_tpu.models.gcn as gcn_mod
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.ops.reuse_spmm import ReuseSpMM
+
+    g = _overlap_graph_obj()
+    layers = LayerConfig([24, 12, 5])
+    # Pretend the cliff sits just above this graph's base table: width
+    # estimate = max(min(24,12), min(12,5)) regime-adjusted; force the
+    # f32 path's width*4 itemsize math by setting a cliff the 800-vertex
+    # base table is under but close to.
+    width = 12  # _max_agg_width([24,12,5], gcn, f32) = max(12, 5) = 12
+    base = 800 * width * 4
+    monkeypatch.setattr(gcn_mod, "AGG_CLIFF_BYTES", base + 200 * width * 4)
+    eng = Engine(g, layers, TrainConfig(reuse="pairs", kernel="hyb",
+                                        epochs=1, eval_every=0,
+                                        reuse_max_pairs=-1))
+    # Auto budget = 200 rows of headroom -> under the 1024 floor -> off.
+    assert not isinstance(eng.model.spmm_op, ReuseSpMM)
+    # Explicit budget overrides the floor and is respected.
+    eng2 = Engine(g, layers, TrainConfig(reuse="pairs", kernel="hyb",
+                                         epochs=1, eval_every=0,
+                                         reuse_max_pairs=50))
+    assert isinstance(eng2.model.spmm_op, ReuseSpMM)
+    assert 0 < eng2.model.spmm_op.plan_fwd.num_pairs <= 50
+    rep = eng2.run()
+    assert np.isfinite(rep.epochs[-1].loss)
+
+
 def test_engine_reuse_requires_hyb_falls_back():
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
     from dorylus_tpu.engine.engine import Engine
