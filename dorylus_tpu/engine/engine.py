@@ -72,6 +72,34 @@ def _max_agg_width(layers: LayerConfig, cfg: TrainConfig,
     return max(dims[:-1])
 
 
+def resolve_reuse_budget(cfg: TrainConfig, base_rows: int,
+                         width: int) -> tuple[int, bool]:
+    """(max_pairs, enabled) for the pair-reuse rewrite.
+
+    Auto (reuse_max_pairs = -1): when the BASE gather table sits below
+    the regime cliff, cap appended pair rows so the rewrite cannot push
+    it over (the measured Reddit-scale loss mode: crossing 64 MB cost
+    1.75x, benchmarks/results/reuse_r3.json); past the cliff the row cut
+    converts super-linearly and no cap applies. A sub-1024-row auto
+    budget cannot pay — reuse disables (explicit budgets are honored)."""
+    from dorylus_tpu.models.gcn import AGG_CLIFF_BYTES
+
+    item = 2 if cfg.agg_dtype == "bfloat16" else 4
+    cap = cfg.reuse_max_pairs
+    if cap < 0:
+        if base_rows * width * item < AGG_CLIFF_BYTES:
+            cap = AGG_CLIFF_BYTES // (width * item) - base_rows
+            log("reuse auto pair budget: %d per pass (keeps the %d-wide "
+                "table under the gather cliff)", cap, width)
+        else:
+            cap = 0  # already past the cliff: unlimited
+    if cfg.reuse_max_pairs < 0 and 0 < cap < 1024:
+        log("reuse auto pair budget %d is too small to pay (< 1024) — "
+            "reuse off; pass --reuse-max-pairs to force", cap)
+        return cap, False
+    return max(cap, 0), True
+
+
 # Auto group size (epochs_per_call=0): bounds how long a compiled call
 # runs between progress lines; dispatch overhead amortizes to <1% of a
 # Reddit-config epoch at this size.
@@ -170,30 +198,9 @@ class Engine:
                             else None)
             reuse_on = cfg.reuse == "pairs" and cfg.kernel == "hyb"
             if reuse_on:
-                # Pair budget (reuse_max_pairs): auto (-1) caps appended
-                # pair rows so a BELOW-cliff table stays below the gather
-                # regime cliff — the measured Reddit-scale loss mode
-                # (appended rows crossed 64 MB and cost 1.75x,
-                # benchmarks/results/reuse_r3.json); past the cliff the
-                # row cut converts super-linearly and no cap applies.
                 width = _max_agg_width(layers, cfg, graph.num_vertices)
-                item = 2 if cfg.agg_dtype == "bfloat16" else 4
-                cap = cfg.reuse_max_pairs
-                if cap < 0:
-                    from dorylus_tpu.models.gcn import AGG_CLIFF_BYTES
-                    if graph.num_vertices * width * item < AGG_CLIFF_BYTES:
-                        cap = (AGG_CLIFF_BYTES // (width * item)
-                               - graph.num_vertices)
-                        log("reuse auto pair budget: %d per pass (keeps "
-                            "the %d-wide table under the gather cliff)",
-                            cap, width)
-                    else:
-                        cap = 0  # already past the cliff: unlimited
-                if cfg.reuse_max_pairs < 0 and 0 < cap < 1024:
-                    log("reuse auto pair budget %d is too small to pay "
-                        "(< 1024) — reuse off; pass --reuse-max-pairs to "
-                        "force", cap)
-                    reuse_on = False
+                cap, reuse_on = resolve_reuse_budget(
+                    cfg, graph.num_vertices, width)
             if reuse_on:
                 # Pair-reuse rewrite (graph/reuse.py): both models have
                 # unit-weight inner sums (GCN via the rank-1 norm

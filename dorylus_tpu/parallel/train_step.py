@@ -258,17 +258,48 @@ class ShardedEngine:
             self.cfg = cfg
         spmm_op = None
         spmm_split = None
-        if cfg.reuse != "off":
-            # Pair rewrites are per-shard-rectangular-block incompatible
-            # with the shared-DP uniform plans (pair rows would need
-            # cross-shard build gathers); single-device engine only.
-            log("pair reuse is single-shard only — off (engine.Engine "
-                "supports --reuse pairs)")
+        from dorylus_tpu.engine.engine import _max_agg_width, resolve_reuse_budget
+        reuse_on = cfg.reuse == "pairs" and cfg.kernel == "hyb"
+        reuse_cap = 0
+        if cfg.reuse == "pairs" and not reuse_on:
+            log("pair reuse requires kernel=hyb (have %s) — off", cfg.kernel)
+        if reuse_on:
+            # Budget against the per-shard GATHER table (local + ghost
+            # rows) — that is the array the regime cliff is about.
+            base_rows = self.sharded.vp + n * self.sharded.max_h
+            reuse_cap, reuse_on = resolve_reuse_budget(
+                cfg, base_rows, _max_agg_width(layers, cfg, base_rows))
+        if reuse_on and cfg.overlap and n > 1:
+            # Rewrites and the interior/boundary split are mutually
+            # exclusive (a pair may combine an interior and a ghost row);
+            # reuse runs the combined-plan path. XLA still schedules the
+            # halo collective alongside the independent dense work.
+            import dataclasses
+            cfg = dataclasses.replace(cfg, overlap=False)
+            self.cfg = cfg
+            log("pair reuse: interior/boundary overlap split disabled "
+                "(rewrites span the combined edge set)")
         stacked = self.sharded.stacked()
         if cfg.kernel in ("degree", "hyb"):
             # Per-shard slot plans padded to uniform shapes (degree:
             # block-row counts; hyb: shared-DP bucket structure).
-            from dorylus_tpu.engine.engine import _max_agg_width
+            if reuse_on:
+                from dorylus_tpu.ops.reuse_sharded import ShardedReuseSpMM
+                spmm_op = ShardedReuseSpMM(
+                    self.sharded,
+                    feature_dim=_max_agg_width(layers, cfg,
+                                               self.sharded.vp),
+                    gather_dtype=(jnp.bfloat16
+                                  if cfg.agg_dtype == "bfloat16" else None),
+                    rank1_factor=(np.sqrt(graph.self_norm)
+                                  if cfg.model == "gcn" else None),
+                    passes=cfg.reuse_passes, max_pairs=reuse_cap)
+                rows_b = sum(m.stats["rows_before"] for m in spmm_op.plan_fwd)
+                rows_a = sum(m.stats["rows_after"] for m in spmm_op.plan_fwd)
+                log("sharded pair reuse: %d fwd pairs over %d shards, "
+                    "gathered rows %d -> %d (-%.1f%%)", spmm_op.num_pairs,
+                    n, rows_b, rows_a, 100 * (1 - rows_a / max(1, rows_b)))
+                stacked["spmm"] = spmm_op.arrays
             if cfg.kernel == "hyb":
                 from dorylus_tpu.ops.hyb_sharded import ShardedHybSpMM as Op
             else:
@@ -278,7 +309,9 @@ class ShardedEngine:
                       gather_dtype=(jnp.bfloat16
                                     if cfg.agg_dtype == "bfloat16" else None),
                       static_vals=cfg.model == "gcn")
-            if cfg.overlap and self.mesh.shape[GRAPH_AXIS] > 1:
+            if reuse_on:
+                pass  # op built above
+            elif cfg.overlap and self.mesh.shape[GRAPH_AXIS] > 1:
                 # Interior/boundary plan pair: the halo-overlap path
                 # (pipeline.cpp:256-286 analog) for the slot kernels. The
                 # models never touch the combined plan on this path, so it

@@ -378,10 +378,17 @@ int64_t gc_mine_pairs(const int32_t* src, const int32_t* dst, int64_t e,
     }
     e2 = (int64_t)rs.size();
     out[0] = e2;
-    // dst values < table_size always; counting sort by dst.
-    std::vector<int64_t> cnt((size_t)table_size + 1, 0);
+    // Counting sort by dst. dst may EXCEED table_size: in the sharded
+    // backward direction the outputs are gather-table rows (local +
+    // ghosts) while table_size is the smaller cotangent-table size where
+    // pair ids start (ops/reuse_sharded.py) — size the counters by the
+    // actual max.
+    int64_t dmax = table_size;
+    for (int64_t i = 0; i < e2; ++i)
+        if ((int64_t)rd[i] >= dmax) dmax = (int64_t)rd[i] + 1;
+    std::vector<int64_t> cnt((size_t)dmax + 1, 0);
     for (int64_t i = 0; i < e2; ++i) cnt[(size_t)rd[i] + 1]++;
-    for (int64_t v = 0; v < table_size; ++v) cnt[v + 1] += cnt[v];
+    for (int64_t v = 0; v < dmax; ++v) cnt[v + 1] += cnt[v];
     for (int64_t i = 0; i < e2; ++i) {
         int64_t at = cnt[rd[i]]++;
         src2[at] = rs[i];
