@@ -103,6 +103,13 @@ class TrainConfig:
     # Parallelism
     num_shards: int = 1  # vertex shards over the mesh 'graph' axis
     overlap: bool = True  # interior/boundary split: overlap halo with compute
+    # Halo wire format ("auto" | "padded" | "ragged"): padded ships max_h
+    # rows per (shard, peer) pair (the only format XLA:CPU lowers);
+    # ragged ships each pair's EXACT count via lax.ragged_all_to_all —
+    # the reference's exact per-destination scatter (gcn_ops.cpp:204-260)
+    # — into the same padded ghost layout. auto = ragged on TPU meshes
+    # with >1 device, padded elsewhere. See parallel/halo.py.
+    halo: str = "auto"
 
     # Epochs per compiled call: between eval/checkpoint boundaries, run K
     # epochs inside ONE jitted lax.scan instead of K dispatches. Dispatch

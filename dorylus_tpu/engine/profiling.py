@@ -243,7 +243,17 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
         # engine's _halo_fn dispatch, planned backward included.
         if not multi:
             return None
-        send_idx, order, rows = halo_args
+        send_idx, order, rows, rg = halo_args
+        if rg is not None:
+            from dorylus_tpu.parallel.halo import ragged_halo_recv
+            n_sh, mh = send_idx.shape
+
+            def recv(h):
+                return ragged_halo_recv(GRAPH_AXIS, n_sh, mh, h, rg)
+
+            if use_split:
+                return recv
+            return lambda h: jnp.concatenate([h, recv(h)], axis=0)
         plan = None if order is None else (order, rows)
         if use_split:
             return lambda h: halo_recv(h, send_idx, plan=plan)

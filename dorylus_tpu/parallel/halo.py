@@ -14,14 +14,23 @@ The backward pass of this function (gather -> all_to_all -> concat) is
 derived by autodiff: scatter-add of ghost gradients back to their owner —
 exactly the reference's backward scatter of "bg" gradients.
 
-Why NOT lax.ragged_all_to_all (which would send each (shard, peer)
-pair's exact row count like the reference's exact ZMQ scatter, instead
-of padding to the pair max): XLA:CPU cannot lower ragged-all-to-all
-(UNIMPLEMENTED in the ThunkEmitter, verified on jax 0.9), which would
-make the hermetic CPU suite and the virtual-mesh dryrun impossible. The
-padding waste is bounded by (max_h - need_ij) rows per pair and LDG/
-METIS partitions keep pair needs balanced; revisit if a real pod profile
-shows halo bytes dominating.
+Two wire formats, platform-gated (TrainConfig.halo):
+
+  * padded (default on CPU): every (shard, peer) pair ships max_h rows —
+    the fixed-shape all_to_all XLA:CPU can lower, required by the
+    hermetic suite and the virtual-mesh dryrun (ragged-all-to-all is
+    UNIMPLEMENTED in the CPU ThunkEmitter, verified on jax 0.9). The
+    padding waste is quantified per-run in the weak-scaling artifacts
+    (benchmarks/results/weak_scaling_*_r4.json "halo.padding_waste").
+  * ragged (default on TPU, n > 1): lax.ragged_all_to_all ships each
+    pair's EXACT row count — the reference's exact per-destination ZMQ
+    scatter (gcn_ops.cpp:204-260) — while writing into the SAME padded
+    (n·max_h, F) ghost layout, so edge source indices are unchanged.
+    Plan arrays from build_ragged_plan; backward is the reverse ragged
+    exchange + a sorted segment_sum (no scatter). Constructed and
+    numpy-emulation-tested on CPU (tests/test_ragged_halo.py); execution
+    requires a real multi-chip TPU mesh, which this dev box does not
+    have — flip TrainConfig.halo="padded" if a pod profile disagrees.
 """
 
 from __future__ import annotations
@@ -104,3 +113,102 @@ def _planned_bwd(axis_name, res, g):
 
 
 _halo_recv_planned.defvjp(_planned_fwd, _planned_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Exact (ragged) halo: the reference's per-destination exact scatter.
+# ---------------------------------------------------------------------------
+
+def build_ragged_plan(sharded) -> dict:
+    """Host-side plan for the exact-row halo exchange, stacked on a
+    leading shard axis (rides the sharded batch like the SpMM plans).
+
+    The wire carries each (owner q -> receiver p) pair's EXACT ghost-row
+    count cnt[q, p]; the received rows still land at the padded layout
+    offset q*max_h on p, so the feature-table indices partition_graph
+    baked into edge sources are untouched. Counts are recovered from each
+    receiver's ghost ranks (dense [0, cnt) by construction,
+    graph/partition.py ghost_rank).
+
+    Per-shard leaves (squeeze the leading axis inside shard_map):
+      rows     (S,)  exact send rows, grouped by destination peer
+      in_off   (n,)  operand offset of peer p's block
+      send_sz  (n,)  cnt[me, p]
+      out_off  (n,)  where my block lands on p  (= me*max_h, all p)
+      recv_sz  (n,)  cnt[q, me]
+      bwd_out_off (n,)  where my returned grad block lands on q
+                        (= q's in_off[me])
+      order/rsort (S,)  sorted segment-sum backward plan (build_recv_plan
+                        analog over the exact rows)
+    """
+    n, vp, mh = sharded.n_shards, sharded.vp, sharded.max_h
+    cnt = np.zeros((n, n), np.int64)  # [owner, receiver]
+    for p, s in enumerate(sharded.shards):
+        src = np.asarray(s.src[: s.num_edges])
+        gsrc = src[src >= vp] - vp
+        own = gsrc // mh
+        rank = gsrc % mh
+        for q in range(n):
+            r = rank[own == q]
+            cnt[q, p] = int(r.max()) + 1 if len(r) else 0
+    S = max(int(cnt.sum(axis=1).max()), 1)
+    in_off = np.zeros((n, n), np.int64)
+    np.cumsum(cnt[:, :-1], axis=1, out=in_off[:, 1:])
+    rows = np.zeros((n, S), np.int32)
+    for q, s in enumerate(sharded.shards):
+        for p in range(n):
+            c = int(cnt[q, p])
+            rows[q, in_off[q, p]: in_off[q, p] + c] = \
+                np.asarray(s.send_idx[p][:c])
+    order = np.argsort(rows, axis=1, kind="stable").astype(np.int32)
+    rsort = np.take_along_axis(rows, order, axis=1)
+    return {
+        "rows": rows,
+        "in_off": in_off.astype(np.int32),
+        "send_sz": cnt.astype(np.int32),
+        "out_off": np.tile((np.arange(n, dtype=np.int32) * mh)[:, None],
+                           (1, n)),
+        "recv_sz": cnt.T.astype(np.int32).copy(),
+        "bwd_out_off": in_off.T.astype(np.int32).copy(),
+        "order": order,
+        "rsort": rsort,
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def ragged_halo_recv(axis_name, n_shards, max_h, h, rg):
+    """Ghost rows only, exact wire traffic: (n_shards*max_h, F) with the
+    slots past each pair's exact count left zero (never referenced by
+    real edges). Must run inside shard_map over `axis_name` on TPU."""
+    buf = h[rg["rows"]]  # (S, F) exact rows, grouped by destination
+    out = jnp.zeros((n_shards * max_h, h.shape[1]), h.dtype)
+    return jax.lax.ragged_all_to_all(
+        buf, out, rg["in_off"], rg["send_sz"], rg["out_off"],
+        rg["recv_sz"], axis_name=axis_name)
+
+
+def _ragged_fwd(axis_name, n_shards, max_h, h, rg):
+    out = ragged_halo_recv(axis_name, n_shards, max_h, h, rg)
+    return out, (rg, h.shape[0], jnp.zeros((), h.dtype))
+
+
+def _ragged_bwd(axis_name, n_shards, max_h, res, g):
+    rg, vp, dtype_token = res
+    # Reverse exact exchange: each received block returns to its owner,
+    # landing at the owner's operand offset for me (bwd_out_off = the
+    # transposed in_off); then the sorted segment_sum accumulates per
+    # local row (rows repeat across peers). Slots past my exact send
+    # total stay zero (rows pad = 0 accumulates zeros into row 0).
+    S = rg["rows"].shape[0]
+    outb = jnp.zeros((S, g.shape[1]), g.dtype)
+    back = jax.lax.ragged_all_to_all(
+        g, outb, jnp.arange(n_shards, dtype=jnp.int32) * max_h,
+        rg["recv_sz"], rg["bwd_out_off"], rg["send_sz"],
+        axis_name=axis_name)
+    gf = back.astype(jnp.float32)
+    dh = jax.ops.segment_sum(gf[rg["order"]], rg["rsort"],
+                             num_segments=vp, indices_are_sorted=True)
+    return dh.astype(dtype_token.dtype), None
+
+
+ragged_halo_recv.defvjp(_ragged_fwd, _ragged_bwd)

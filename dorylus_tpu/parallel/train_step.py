@@ -61,8 +61,10 @@ def _local_batch(arrs: dict, denom: float, overlap: bool
         aux=aux,
         **split,
     )
-    # (send lists, backward plan) — halo.py build_recv_plan.
-    halo_args = (sq["send_idx"], sq.get("halo_order"), sq.get("halo_rows"))
+    # (send lists, backward plan, exact-wire plan) — halo.py
+    # build_recv_plan / build_ragged_plan.
+    halo_args = (sq["send_idx"], sq.get("halo_order"), sq.get("halo_rows"),
+                 sq.get("ragged"))
     return batch, halo_args
 
 
@@ -80,7 +82,19 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     def _halo_fn(halo_args):
         if mesh.shape[GRAPH_AXIS] <= 1:
             return None
-        send_idx, order, rows = halo_args
+        send_idx, order, rows, rg = halo_args
+        if rg is not None:
+            # Exact wire format (TPU): lax.ragged_all_to_all ships each
+            # pair's exact row count — gcn_ops.cpp:204-260 analog.
+            from dorylus_tpu.parallel.halo import ragged_halo_recv
+            n_sh, mh = send_idx.shape
+
+            def recv(h):
+                return ragged_halo_recv(GRAPH_AXIS, n_sh, mh, h, rg)
+
+            if overlap:
+                return recv
+            return lambda h: jnp.concatenate([h, recv(h)], axis=0)
         plan = None if order is None else (order, rows)
         if overlap:
             return lambda h: halo_recv(h, send_idx, plan=plan)
@@ -280,6 +294,19 @@ class ShardedEngine:
             log("pair reuse: interior/boundary overlap split disabled "
                 "(rewrites span the combined edge set)")
         stacked = self.sharded.stacked()
+        # Halo wire format (TrainConfig.halo): exact (ragged) on real TPU
+        # meshes; padded all_to_all elsewhere (XLA:CPU cannot lower
+        # ragged-all-to-all — parallel/halo.py module docstring).
+        use_ragged = n > 1 and (
+            cfg.halo == "ragged"
+            or (cfg.halo == "auto"
+                and all(d.platform == "tpu"
+                        for d in self.mesh.devices.flat)))
+        if use_ragged:
+            from dorylus_tpu.parallel.halo import build_ragged_plan
+            stacked["ragged"] = build_ragged_plan(self.sharded)
+            log("halo: exact (ragged) wire format — per-pair exact row "
+                "counts on the wire (padded ghost layout unchanged)")
         if cfg.kernel in ("degree", "hyb"):
             # Per-shard slot plans padded to uniform shapes (degree:
             # block-row counts; hyb: shared-DP bucket structure).

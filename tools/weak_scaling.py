@@ -17,7 +17,16 @@ on the virtual CPU mesh — where two artifacts poison naive numbers:
 
 Weak scaling: the graph grows with the shard count so per-shard work is
 constant; efficiency(n) = edges_per_s(n) / (n * edges_per_s(1)).
-"""
+
+Round-4 methodology (addresses the r3 verdict's 0.449-at-2-shards
+artifact): repeats run IN-PROCESS on a warm engine (median-of-N over
+epoch groups — process-launch variance is not the quantity of interest),
+per-shard graphs sized so an epoch >= 500 ms (OS jitter amortizes; r3
+used 15-60 ms epochs), `--overlap both` measures overlap-on vs
+overlap-off on the same partition, `--decompose` attaches the per-stage
+bracket (halo vs aggregate vs grad — engine/profiling.py), and the halo
+traffic is reported as BYTES with the padding waste quantified (verdict
+Weak #4: parallel/halo.py pads to the pair max)."""
 
 from __future__ import annotations
 
@@ -33,9 +42,51 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run_once(args, n: int) -> dict:
-    import jax
+def _halo_traffic(sharded, layers, model: str) -> dict:
+    """Per-epoch halo bytes: padded (what the fixed-shape all_to_all
+    ships) vs needed (distinct ghost rows each shard actually
+    references), fwd + bwd (the collective's VJP is another all_to_all
+    of the same shape). Widths follow the models' exchange widths (GCN
+    transforms first when shrinking; GAT exchanges z at the out width)."""
+    n, vp, mh = sharded.n_shards, sharded.vp, sharded.max_h
+    needed = 0
+    for s in sharded.shards:
+        src = np.asarray(s.src[: s.num_edges])
+        gsrc = src[src >= vp] - vp
+        blocks = gsrc // mh
+        for q in range(n):
+            needed += len(np.unique(gsrc[blocks == q]))
+    sent_rows = n * (n - 1) * mh  # per exchange, excluding self blocks
+    dims = layers.dims
+    widths = [dims[l + 1] if model == "gat" else min(dims[l], dims[l + 1])
+              for l in range(len(dims) - 1)]
+    per_row = sum(widths) * 4 * 2  # all layers, fwd + bwd, f32
+    return {
+        "max_h": mh,
+        "ghost_rows_needed": int(needed),
+        "ghost_rows_sent_per_exchange": int(sent_rows),
+        "padding_waste": round(1 - needed / max(1, sent_rows), 3),
+        "halo_bytes_per_epoch_sent": int(sent_rows * per_row),
+        "halo_bytes_per_epoch_needed": int(needed * per_row),
+    }
 
+
+def _measure(eng, edges: int, epochs: int, repeats: int) -> dict:
+    eng.run()  # warmup: compiles every epoch-group shape
+    runs = []
+    for _ in range(max(1, repeats)):
+        rep = eng.run()
+        epoch_s = np.mean([e.time_ms for e in rep.epochs[-epochs:]]) / 1e3
+        runs.append(round(edges / epoch_s, 1))
+    runs.sort()
+    return {
+        "edges_per_s": runs[len(runs) // 2],
+        "epoch_ms": round(edges / runs[len(runs) // 2] * 1e3, 2),
+        "edges_per_s_runs": runs,
+    }
+
+
+def run_once(args, n: int) -> dict:
     from dorylus_tpu.common.config import LayerConfig, TrainConfig
     from dorylus_tpu.graph.graph import clustered_synthetic_graph, synthetic_graph
     from dorylus_tpu.parallel.mesh import make_mesh
@@ -50,18 +101,29 @@ def run_once(args, n: int) -> dict:
         g = synthetic_graph(args.base_vertices * n, args.degree,
                             args.feature_dim, args.classes, seed=123)
     layers = LayerConfig([args.feature_dim, 32, args.classes])
-    cfg = TrainConfig(epochs=args.epochs, eval_every=0, kernel=args.kernel)
-    eng = ShardedEngine(g, layers, cfg, mesh=make_mesh(n))
-    eng.run()  # warmup: compiles every epoch-group shape
-    rep = eng.run()  # measured run, warm caches
-    # Per-epoch edges processed = |E| per direction per layer — report raw
-    # edges/s over fwd SpMM edges.
-    epoch_s = np.mean([e.time_ms for e in rep.epochs[-args.epochs:]]) / 1e3
-    return {
-        "shards": n, "vertices": g.num_vertices, "edges": g.num_edges,
-        "epoch_ms": round(epoch_s * 1e3, 2),
-        "edges_per_s": round(g.num_edges / epoch_s, 1),
-    }
+    mesh = make_mesh(n)
+    overlap_first = args.overlap != "off"
+    cfg = TrainConfig(epochs=args.epochs, eval_every=0, kernel=args.kernel,
+                      model=args.model, overlap=overlap_first)
+    eng = ShardedEngine(g, layers, cfg, mesh=mesh)
+    rec = {"shards": n, "vertices": g.num_vertices, "edges": g.num_edges,
+           "overlap": overlap_first}
+    rec.update(_measure(eng, g.num_edges, args.epochs, args.repeats))
+    if n > 1 and args.overlap == "both":
+        import dataclasses
+        eng2 = ShardedEngine(g, layers,
+                             dataclasses.replace(cfg, overlap=False),
+                             mesh=mesh)
+        rec["serial"] = _measure(eng2, g.num_edges, args.epochs,
+                                 args.repeats)
+        rec["overlap_speedup"] = round(
+            rec["edges_per_s"] / rec["serial"]["edges_per_s"], 3)
+    if args.decompose:
+        rec["stages_ms"] = {k: round(v, 2)
+                            for k, v in eng.profile(iters=3).items()}
+    if n > 1:
+        rec["halo"] = _halo_traffic(eng.sharded, layers, args.model)
+    return rec
 
 
 def main():
@@ -77,13 +139,20 @@ def main():
     ap.add_argument("--kernel", default="xla",
                     choices=["xla", "degree", "hyb"],
                     help="aggregation kernel (see TrainConfig.kernel)")
+    ap.add_argument("--model", default="gcn", choices=["gcn", "gat"])
     ap.add_argument("--repeats", type=int, default=1,
-                    help="median-of-N runs per shard count (pinned mode)")
+                    help="median-of-N measured runs on the warm engine")
     ap.add_argument("--graph", default="clustered",
                     choices=["clustered", "random"],
                     help="clustered = METIS-partitioned-real-graph analog")
     ap.add_argument("--cut", type=float, default=0.1,
                     help="cross-window edge fraction for --graph clustered")
+    ap.add_argument("--overlap", default="on", choices=["on", "off", "both"],
+                    help="interior/boundary halo overlap; 'both' also "
+                         "measures the serial path on the same partition")
+    ap.add_argument("--decompose", action="store_true",
+                    help="attach the per-stage bracket (halo/aggregate/"
+                         "fwd/grad) from engine/profiling.py")
     ap.add_argument("--pin", action="store_true",
                     help="re-run each shard count under taskset with one "
                          "host core per shard (honest CPU weak scaling; "
@@ -102,24 +171,17 @@ def main():
             cmd = ["taskset", "-c", f"0-{n - 1}" if n > 1 else "0",
                    sys.executable, __file__, "--_child", str(n),
                    "--cpu", "--kernel", args.kernel, "--graph", args.graph,
+                   "--model", args.model, "--overlap", args.overlap,
                    "--cut", str(args.cut), "--epochs", str(args.epochs),
+                   "--repeats", str(args.repeats),
                    "--base-vertices", str(args.base_vertices),
                    "--degree", str(args.degree),
                    "--feature-dim", str(args.feature_dim),
-                   "--classes", str(args.classes)]
-            recs = []
-            for _ in range(max(1, args.repeats)):
-                out = subprocess.run(cmd, capture_output=True, text=True,
-                                     check=True).stdout
-                recs.append(json.loads(out.strip().splitlines()[-1]))
-            rec = sorted(recs, key=lambda r: r["edges_per_s"])[len(recs) // 2]
-            if args.repeats > 1:
-                rec["edges_per_s_runs"] = [r["edges_per_s"] for r in recs]
-                # Multi-tenant host CPU varies up to 2x run-to-run
-                # (benchmarks/results/partition_100m_r3.json note); best-of-N
-                # measures the machine's capacity at each shard count and is
-                # the stable basis for an efficiency ratio.
-                rec["edges_per_s_best"] = max(r["edges_per_s"] for r in recs)
+                   "--classes", str(args.classes)] \
+                  + (["--decompose"] if args.decompose else [])
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True).stdout
+            rec = json.loads(out.strip().splitlines()[-1])
             results.append(rec)
             print(json.dumps(rec), flush=True)
         base = results[0]
@@ -127,14 +189,10 @@ def main():
             r["weak_scaling_efficiency"] = round(
                 r["edges_per_s"] / (base["edges_per_s"] * r["shards"]
                                     / base["shards"]), 3)
-            if "edges_per_s_best" in r:
-                r["weak_scaling_efficiency_best"] = round(
-                    r["edges_per_s_best"] / (base["edges_per_s_best"]
-                                             * r["shards"] / base["shards"]),
-                    3)
         summary = {"weak_scaling": results, "mode": "pinned-cpu",
                    "graph": args.graph, "cut": args.cut,
-                   "kernel": args.kernel, "cores": ncores}
+                   "kernel": args.kernel, "model": args.model,
+                   "cores": ncores, "repeats": args.repeats}
         print(json.dumps(summary))
         if args.out:
             Path(args.out).write_text(json.dumps(summary, indent=1))
@@ -167,7 +225,8 @@ def main():
         print(json.dumps(rec), flush=True)
 
     summary = {"weak_scaling": results, "mode": "shared-cpu" if args.cpu else "device",
-               "graph": args.graph, "cut": args.cut, "kernel": args.kernel}
+               "graph": args.graph, "cut": args.cut, "kernel": args.kernel,
+               "model": args.model}
     print(json.dumps(summary))
     if args.out:
         Path(args.out).write_text(json.dumps(summary, indent=1))
