@@ -1,4 +1,9 @@
-"""Does the pair-reuse op win carry into FULL training epochs?
+"""Does the pair-reuse op win carry into FULL training epochs? (r4 rerun)
+
+Round-3 HISTORY: this probe measured 0.78x (reuse LOSING at the step
+level, reuse_epoch_r3.json) BEFORE the regime-aware aggregation
+ordering (df5/65e) landed; with it, reuse wins at the step level too
+(probe_reuse_step.py bisect: 1.50x at epochs_per_call 1 AND 3).
 
 tools/probe_reuse_largev.py measured the forward mask pass 1.63-1.88x
 at V=1.6M. A training epoch adds the backward (served by the
@@ -6,7 +11,7 @@ independently-mined transposed rewrite, ops/reuse_spmm.py _bwd) and the
 dense layers; this probe times warm GCN and GAT epochs with/without
 --reuse pairs on the same community-core graph, through the production
 Engine path (custom VJP included). Writes
-benchmarks/results/reuse_epoch_r3.json.
+benchmarks/results/reuse_epoch_r4.json.
 """
 
 import json
@@ -68,7 +73,7 @@ def main():
                       "reuse_loss": round(loss1, 4),
                       "reuse_init_s": round(init_s, 1)}
     path = Path(__file__).resolve().parent.parent / \
-        "benchmarks/results/reuse_epoch_r3.json"
+        "benchmarks/results/reuse_epoch_r4.json"
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
 
