@@ -498,8 +498,11 @@ class Engine:
         self.report.total_time_s = time.perf_counter() - t_run
         # Final metrics (Engine::output analog) + chip-second cost
         # accounting (calculate-price.py analog).
-        from dorylus_tpu.engine.profiling import report_cost
+        from dorylus_tpu.engine.profiling import report_cost, report_memory
         self.report.notes["cost"] = report_cost(self.report.total_time_s)
+        mem = report_memory()
+        if mem:
+            self.report.notes["hbm"] = mem
         correct, _, count = evaluate(self.params, self.batch, self.batch.val_mask)
         self.report.final_accuracy = float(correct) / max(1.0, float(count))
         correct, _, count = evaluate(self.params, self.batch, self.batch.test_mask)

@@ -287,3 +287,21 @@ def report_cost(total_time_s: float, n_chips: int = 1,
         "price_per_chip_hour_usd": price_per_chip_hour,
         "estimated_cost_usd": round(chip_s / 3600.0 * price_per_chip_hour, 6),
     }
+
+
+def report_memory() -> dict | None:
+    """Device-0 HBM usage when the backend exposes it (TPU does; CPU and
+    some remote backends return nothing) — feeds the capacity model in
+    README (max |E| per chip)."""
+    import jax
+
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not ms:
+        return None
+    keep = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+            "largest_alloc_size")
+    out = {k: int(ms[k]) for k in keep if k in ms}
+    return out or None

@@ -483,6 +483,10 @@ class ShardedEngine:
             epoch += k
         self.report.notes["converge_state"] = monitor.state.name
         self.report.total_time_s = time.perf_counter() - t_run
+        from dorylus_tpu.engine.profiling import report_memory
+        mem = report_memory()
+        if mem:
+            self.report.notes["hbm"] = mem
         from dorylus_tpu.engine.profiling import report_cost
         self.report.notes["cost"] = report_cost(
             self.report.total_time_s, n_chips=self.mesh.size)
