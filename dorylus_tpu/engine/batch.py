@@ -11,9 +11,12 @@ from dorylus_tpu.models.base import GraphBatch
 
 
 def onehot_labels(labels: np.ndarray, num_classes: int) -> np.ndarray:
-    out = np.zeros((labels.shape[0], num_classes), dtype=np.float32)
+    """uint8 one-hot: the (V, C) label tensor is pure 0/1 and the loss/
+    eval ops cast rows on the fly — f32 storage wasted 4x HBM at capacity
+    scale (V=3.6M, C=51: 1.84 GB lane-padded vs 0.46 GB)."""
+    out = np.zeros((labels.shape[0], num_classes), dtype=np.uint8)
     valid = labels >= 0
-    out[np.arange(labels.shape[0])[valid], labels[valid]] = 1.0
+    out[np.arange(labels.shape[0])[valid], labels[valid]] = 1
     return out
 
 

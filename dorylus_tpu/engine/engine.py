@@ -233,8 +233,14 @@ class Engine:
                     # uniform-random graphs (no repeated pairs).
                     log("hint: --reuse pairs cuts aggregation 1.6-1.9x at "
                         ">1M vertices on overlap-heavy (real) graphs")
+                kw = {}
                 if cfg.kernel == "hyb":
                     from dorylus_tpu.ops.hyb_spmm import HybSpMM as OpCls
+                    # Neither production model takes the dynamic per-edge
+                    # value path (GCN: static norms; GAT: dst-functional),
+                    # so the E-sized slot->edge maps need not ship —
+                    # ~4-5 GB of lane-padded HBM at 100M edges.
+                    kw["dynamic"] = False
                 else:
                     from dorylus_tpu.ops.degree_spmm import DegreeSpMM as OpCls
                 spmm_op = OpCls(graph.src, graph.dst,
@@ -243,7 +249,8 @@ class Engine:
                                                            graph.num_vertices),
                                 gather_dtype=gather_dtype,
                                 static_val=(graph.edge_norm
-                                            if cfg.model == "gcn" else None))
+                                            if cfg.model == "gcn" else None),
+                                **kw)
             aux = {"spmm": spmm_op.arrays}
         elif graph.num_vertices > 400_000:
             # Large-V segment_sum cliff (its output falls out of VMEM):
@@ -269,6 +276,15 @@ class Engine:
             # Aux arrays ride the batch pytree into jit as arguments —
             # never as closure constants (they are megabytes of metadata).
             self.batch = self.batch._replace(aux=aux)
+        if cfg.kernel == "hyb":
+            # Capacity model: fit the msgs chunk guard to the HBM left
+            # after the PADDED static footprint (plans + features +
+            # labels) and the per-layer table/out/grad transients.
+            from dorylus_tpu.ops.hyb_spmm import fit_msgs_budget, padded_nbytes
+            width = _max_agg_width(layers, cfg, graph.num_vertices)
+            w128 = -(-width // 128) * 128
+            transients = graph.num_vertices * w128 * 12  # bf16 tbl + f32 out/gout
+            fit_msgs_budget(padded_nbytes(self.batch), transients, log)
         self.params = self.model.init_params(seed=cfg.seed)
         self.opt_state = adam_init(self.params) if cfg.adam else None
         self.report = RunReport()

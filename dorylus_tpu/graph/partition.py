@@ -263,9 +263,9 @@ def partition_graph(
 
         x = np.zeros((vp, feat_dim), np.float32)
         x[:n_local] = g.features[gids]
-        onehot = np.zeros((vp, num_classes), np.float32)
+        onehot = np.zeros((vp, num_classes), np.uint8)
         valid = g.labels[gids] >= 0
-        onehot[np.arange(n_local)[valid], g.labels[gids][valid]] = 1.0
+        onehot[np.arange(n_local)[valid], g.labels[gids][valid]] = 1
 
         gid_arr = np.full(vp, -1, np.int64)
         gid_arr[:n_local] = gids

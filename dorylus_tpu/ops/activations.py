@@ -40,7 +40,7 @@ def masked_softmax_xent(
     then d_out = (preds - labels)/trainset_size).
     """
     logz = jax.nn.log_softmax(logits, axis=-1)
-    per_row = -jnp.sum(onehot * logz, axis=-1)
+    per_row = -jnp.sum(onehot.astype(logz.dtype) * logz, axis=-1)
     return jnp.sum(per_row * mask.astype(per_row.dtype)) / denom
 
 
@@ -54,7 +54,9 @@ def accuracy_and_loss(
     (correct_count, loss_sum, row_count) so callers can psum across shards."""
     m = mask.astype(jnp.float32)
     pred_cls = jnp.argmax(probs, axis=-1)
-    correct = jnp.sum(jnp.take_along_axis(onehot, pred_cls[:, None], axis=1)[:, 0] * m)
+    correct = jnp.sum(jnp.take_along_axis(onehot, pred_cls[:, None],
+                                          axis=1)[:, 0].astype(jnp.float32)
+                      * m)
     true_cls = jnp.argmax(onehot, axis=-1)
     p_true = jnp.take_along_axis(probs, true_cls[:, None], axis=1)[:, 0]
     loss = -jnp.sum(jnp.log(jnp.maximum(p_true, 1e-30)) * m)

@@ -184,7 +184,7 @@ class ShardedHybSpMM:
     def __init__(self, sharded: ShardedGraph, max_width: int = 512,
                  gather_dtype=None, feature_dim: int = 128,
                  static_vals: bool = False, edges: str = "combined",
-                 lam_slots: int = _LAMBDA_SLOTS):
+                 lam_slots: int = _LAMBDA_SLOTS, dynamic: bool = True):
         n = sharded.n_shards
         vp = sharded.vp
         table = {"combined": vp + n * sharded.max_h,
@@ -240,15 +240,34 @@ class ShardedHybSpMM:
             p.pop("_n_iso", None)  # uniform stacking always uses inv
 
         self.has_static_vals = static_vals
+        self.dynamic = dynamic
         self.arrays = {
             "fwd": _uniform_plans(fwd_plans, nreals, vp, ep, max_width),
             "bwd": _uniform_plans(bwd_plans, nreals, table, ep, max_width),
         }
+        if gather_dtype is not None and np.dtype(gather_dtype).itemsize < 4:
+            from dorylus_tpu.ops.hyb_spmm import _cast_vals
+            for p in self.arrays.values():
+                _cast_vals(p, np.dtype(gather_dtype))
+        if not dynamic:
+            # Only the dynamic per-edge path reads the slot->edge maps at
+            # runtime (see HybSpMM dynamic=False) — don't ship E-sized
+            # grids neither production model touches.
+            for p in self.arrays.values():
+                p.pop("e2s", None)
+                for b in p["buckets"]:
+                    b.pop("s2e", None)
+                if p["top"] is not None:
+                    p["top"].pop("s2e", None)
         self.static = (table, vp,
                        None if gather_dtype is None
                        else np.dtype(gather_dtype), ep, None, None)
 
     def apply(self, arrays: dict, h, val):
+        if not self.dynamic:
+            raise RuntimeError(
+                "op built with dynamic=False (slot->edge maps not "
+                "shipped); rebuild with dynamic=True for per-edge values")
         return hyb_spmm_apply(self.static, arrays, h, val)
 
     def apply_dst(self, arrays: dict, h, dst_val):

@@ -229,6 +229,77 @@ def build_hyb_plan(src: np.ndarray, dst: np.ndarray,
     return plan
 
 
+def padded_nbytes(tree) -> int:
+    """Device-HBM estimate for a pytree under TPU tiling: the minor dim
+    pads to 128 lanes, the second-minor to 8 sublanes (1-D arrays don't
+    lane-pad). This padding is what made the friendster 100M-edge plans
+    4-5x their logical size (narrow slot grids) — capacity math must use
+    padded bytes or it lies."""
+    import jax
+
+    tot = 0
+    for a in jax.tree.leaves(tree):
+        shape = getattr(a, "shape", None)
+        if shape is None or len(shape) == 0:
+            continue
+        itemsize = np.dtype(a.dtype).itemsize
+        if len(shape) == 1:
+            tot += int(a.size) * itemsize
+        else:
+            lanes = -(-shape[-1] // 128) * 128
+            subl = -(-shape[-2] // 8) * 8
+            lead = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+            tot += lead * subl * lanes * itemsize
+    return tot
+
+
+def fit_msgs_budget(static_bytes: int, transient_bytes: int = 0,
+                    log_fn=None) -> int:
+    """Size the msgs scan-chunk guard to the HBM the program actually has
+    left: guard = min(8 GB, hbm_limit - static - transients - 2 GB slack).
+    The guard is a compile-OOM guard, never a perf feature (CLAUDE.md) —
+    but a FIXED 8 GB lies at capacity scale (friendster 100M edges:
+    static plan+feature footprint ~11 GB padded, and the default guard
+    let the chunked bucket demand 8 GB more). TPU only; the tunnel
+    backend exposes no memory_stats, so the v5e 15.75 GB limit is assumed
+    (override with DORYLUS_HBM_BYTES). Returns the chosen guard."""
+    global _MSGS_CHUNK_BYTES
+    import os
+
+    import jax
+
+    if jax.local_devices()[0].platform != "tpu":
+        return _MSGS_CHUNK_BYTES
+    limit = None
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        if ms:
+            limit = ms.get("bytes_limit")
+    except Exception:
+        pass
+    if not limit:
+        limit = (int(os.environ.get("DORYLUS_HBM_BYTES", 0))
+                 or int(15.75 * 2**30))
+    budget = limit - static_bytes - transient_bytes - (2 << 30)
+    _MSGS_CHUNK_BYTES = min(8 << 30, max(1 << 30, budget))
+    if log_fn is not None and _MSGS_CHUNK_BYTES < (8 << 30):
+        log_fn("msgs chunk guard lowered to %.2f GB (static %.2f GB + "
+               "transients %.2f GB of %.2f GB HBM)",
+               _MSGS_CHUNK_BYTES / 2**30, static_bytes / 2**30,
+               transient_bytes / 2**30, limit / 2**30)
+    return _MSGS_CHUNK_BYTES
+
+
+def _cast_vals(plan: dict, dtype) -> None:
+    """Pre-cast baked static values to the narrow msgs dtype (in place,
+    host side) — see HybSpMM.__init__."""
+    for b in plan["buckets"]:
+        if "vals" in b:
+            b["vals"] = b["vals"].astype(dtype)
+    if plan.get("top") is not None and "vals" in plan["top"]:
+        plan["top"]["vals"] = plan["top"]["vals"].astype(dtype)
+
+
 def _weights(part, mode, msgs_dtype, val_ext):
     """(rows, w) slot weights for one bucket in the msgs dtype."""
     rows = part["rows"]
@@ -244,14 +315,32 @@ def _weights(part, mode, msgs_dtype, val_ext):
 def _reduce_part(tb, part, mode, val_ext, narrow, other_rows):
     """gather -> weight multiply -> sum(axis=1) for one bucket/top part.
     Returns (out (rows, F) f32, dv (rows, w) f32 | None). Scan-chunks the
-    row dim when the message tensor would exceed _MSGS_CHUNK_BYTES."""
+    row dim when the message tensor would exceed _MSGS_CHUNK_BYTES.
+
+    (A round-4 experiment shipped the slot grids FLAT to avoid the
+    128-lane padding of narrow (nb, w<128) int32 grids; the flat-index
+    gather measured 1.7x SLOWER at Reddit shape on v5e — 230 vs 397 M
+    edges/s — so grids stay 2-D and capacity is managed by not shipping
+    s2e/e2s (dynamic=False), bf16 static vals, and the engine-set msgs
+    chunk budget instead.)"""
     rows = part["rows"]
     nb, w = rows.shape
     f = tb.shape[1]
     itemsize = 2 if narrow else 4
+    # Padded bytes per slot row of the (chunk, w, F) message tensor. TPU
+    # tiles pad the minor dim to 128 lanes and the next to 8 sublanes;
+    # with F >= 128 XLA keeps F minor (measured across rounds), but with
+    # a NARROW F it may transpose and put w in the lanes — the friendster
+    # 100M-edge compile OOM'd on exactly that: msgs logically 3 GB, laid
+    # out (F, chunk, w) with w padded 32->128 = 12 GB. Guard on the worst
+    # of both layouts when F < 128.
+    if f >= 128:
+        per_slot = w * -(-f // 128) * 128
+    else:
+        per_slot = max(w * 128, (-(-f // 8) * 8) * 128)
     chunk = 0
-    if nb * w * max(f, 128) * itemsize > _MSGS_CHUNK_BYTES:
-        chunk = max(8, (_MSGS_CHUNK_BYTES // (w * max(f, 128) * itemsize))
+    if nb * per_slot * itemsize > _MSGS_CHUNK_BYTES:
+        chunk = max(8, (_MSGS_CHUNK_BYTES // (per_slot * itemsize))
                     // 8 * 8)
 
     def reduce_rows(s, wt, hb):
@@ -269,18 +358,24 @@ def _reduce_part(tb, part, mode, val_ext, narrow, other_rows):
     wt_full = _weights(part, mode, tb.dtype if narrow else jnp.float32,
                        val_ext)
     if chunk and nb > chunk:
+        # Scan over chunk indices with dynamic_slice — NOT over stacked
+        # (n, chunk, w) copies of the slot grids, which would double the
+        # (already lane-padded) plan memory as HLO temps (the friendster
+        # 100M-edge compile OOM). One padded copy of each operand remains.
         n = -(-nb // chunk)
         pad = n * chunk - nb
-        pieces = [jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-                  .reshape((n, chunk) + x.shape[1:])
-                  for x in ((rows, wt_full)
-                            + (() if other_rows is None else (other_rows,)))]
+        ops = [jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+               for x in ((rows, wt_full)
+                         + (() if other_rows is None else (other_rows,)))]
 
-        def body(_, ch):
+        def body(_, i):
+            ch = [jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk)
+                  for x in ops]
             return None, reduce_rows(ch[0], ch[1],
                                      ch[2] if len(ch) > 2 else None)
 
-        _, (outs, dvs) = jax.lax.scan(body, None, tuple(pieces))
+        _, (outs, dvs) = jax.lax.scan(body, None,
+                                      jnp.arange(n, dtype=jnp.int32))
         out = outs.reshape(n * chunk, -1)[:nb]
         dv = None if dvs is None else dvs.reshape(n * chunk, -1)[:nb]
         return out, dv
@@ -484,7 +579,15 @@ class HybSpMM:
     def __init__(self, src, dst, num_in: int, num_out: int,
                  max_width: int = 512, gather_dtype=None,
                  feature_dim: int = 128, static_val=None,
-                 lam_slots: int = _LAMBDA_SLOTS):
+                 lam_slots: int = _LAMBDA_SLOTS, dynamic: bool = True):
+        """dynamic=False drops the slot->edge maps (per-bucket s2e +
+        plan e2s) from the shipped arrays: only the dynamic per-edge
+        value path reads them at runtime, and at production scale they
+        are E-sized int32 grids LANE-PADDED to 128 — ~4-5 GB of HBM at
+        100M edges (the friendster single-chip capacity fix). apply()
+        raises when built without them; apply_static / apply_dst /
+        apply_unit — the paths both production models use — are
+        unaffected."""
         src = np.asarray(src)
         dst = np.asarray(dst)
         e = len(src)
@@ -492,6 +595,7 @@ class HybSpMM:
         order = np.argsort(src, kind="stable")
         self.num_in, self.num_out = num_in, num_out
         self.has_static_vals = static_val is not None
+        self.dynamic = dynamic
         fwd = build_hyb_plan(src, dst, None, num_out, max_width, lam_slots,
                              static_val)
         bwd = build_hyb_plan(dst[order], src[order], order, num_in,
@@ -499,7 +603,19 @@ class HybSpMM:
         self.n_slots = fwd["n_slots"] + bwd["n_slots"]
         for p in (fwd, bwd):
             p.pop("n_slots")
+            if not dynamic:
+                p.pop("e2s", None)
+                for b in p["buckets"]:
+                    b.pop("s2e", None)
+                if p["top"] is not None:
+                    p["top"].pop("s2e", None)
         n_iso = (fwd.pop("_n_iso", None), bwd.pop("_n_iso", None))
+        if gather_dtype is not None and jnp.dtype(gather_dtype).itemsize < 4:
+            # Narrow mode multiplies weights in the msgs dtype at runtime
+            # anyway (_weights) — ship static vals pre-cast and halve
+            # their HBM (one rounding instead of per-pass casts).
+            for p in (fwd, bwd):
+                _cast_vals(p, np.dtype(gather_dtype))
         self.arrays = {
             "fwd": jax.tree.map(jnp.asarray, fwd),
             "bwd": jax.tree.map(jnp.asarray, bwd),
@@ -516,6 +632,10 @@ class HybSpMM:
         return 4 if gdt is None else jnp.dtype(gdt).itemsize
 
     def apply(self, arrays, h, val):
+        if not self.dynamic:
+            raise RuntimeError(
+                "op built with dynamic=False (slot->edge maps not "
+                "shipped); rebuild with dynamic=True for per-edge values")
         return hyb_spmm_apply(self.static, arrays, h, val)
 
     def apply_dst(self, arrays, h, dst_val):

@@ -184,6 +184,10 @@ class ShardedReuseSpMM:
                 p.pop("_n_iso", None)  # uniform stacking always uses inv
             out = _uniform_plans(plans, nreals, num_out_dir, ep2, max_width)
             out.pop("e2s", None)  # mask mode never maps slots to edges
+            for b in out["buckets"]:
+                b.pop("s2e", None)  # mask mode never reads slot->edge
+            if out["top"] is not None:
+                out["top"].pop("s2e", None)
             return out
 
         self.arrays = {

@@ -103,6 +103,10 @@ class ReuseSpMM:
             p.pop("n_slots", None)
             n_iso.append(p.pop("_n_iso", None))
             p.pop("e2s", None)  # mask mode never maps slots back to edges
+            for b in p["buckets"]:
+                b.pop("s2e", None)  # nor slot->edge within buckets
+            if p["top"] is not None:
+                p["top"].pop("s2e", None)
         self.arrays = {
             "fwd": jax.tree.map(jnp.asarray, pf),
             "bwd": jax.tree.map(jnp.asarray, pb),

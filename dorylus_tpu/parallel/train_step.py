@@ -336,6 +336,11 @@ class ShardedEngine:
                       gather_dtype=(jnp.bfloat16
                                     if cfg.agg_dtype == "bfloat16" else None),
                       static_vals=cfg.model == "gcn")
+            if cfg.kernel == "hyb":
+                # Production models never take the dynamic per-edge value
+                # path — don't ship the E-sized slot->edge maps (see
+                # HybSpMM dynamic=False).
+                kw["dynamic"] = False
             if reuse_on:
                 pass  # op built above
             elif cfg.overlap and self.mesh.shape[GRAPH_AXIS] > 1:
