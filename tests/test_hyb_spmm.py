@@ -298,3 +298,57 @@ def test_degree_sorted_engine_matches_unsorted():
     r1 = Engine(g1, layers, cfg).run()
     for a, b in zip(r0.epochs, r1.epochs):
         np.testing.assert_allclose(a.loss, b.loss, rtol=1e-4, atol=1e-6)
+
+
+def test_dynamic_false_strips_maps_and_matches():
+    """dynamic=False drops the slot->edge maps (a capacity lever — they
+    are E-sized and lane-padded) without changing static/dst/unit math;
+    the dynamic path then raises instead of mis-executing."""
+    import jax.numpy as jnp
+    import pytest
+
+    from dorylus_tpu.graph.graph import synthetic_graph
+
+    g = synthetic_graph(250, 7, 12, 4, seed=9)
+    kw = dict(gather_dtype=jnp.bfloat16, feature_dim=12,
+              static_val=np.asarray(g.edge_norm))
+    full = HybSpMM(g.src, g.dst, 250, 250, **kw)
+    slim = HybSpMM(g.src, g.dst, 250, 250, dynamic=False, **kw)
+    assert "e2s" not in slim.arrays["fwd"]
+    assert all("s2e" not in b for b in slim.arrays["fwd"]["buckets"])
+    # bf16-shipped static vals (one rounding) — same values the full op
+    # multiplies with at runtime.
+    assert slim.arrays["fwd"]["buckets"][0]["vals"].dtype == jnp.bfloat16
+    h = jnp.asarray(np.random.default_rng(3).normal(size=(250, 12)),
+                    jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(full.apply_static(full.arrays, h)),
+        np.asarray(slim.apply_static(slim.arrays, h)), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(full.apply_unit(full.arrays, h)),
+        np.asarray(slim.apply_unit(slim.arrays, h)), rtol=1e-5, atol=1e-5)
+    with pytest.raises(RuntimeError, match="dynamic=False"):
+        slim.apply(slim.arrays, h, jnp.ones(g.num_edges))
+
+
+def test_padded_nbytes_and_budget_cpu_noop():
+    """padded_nbytes models TPU tiling (minor dim -> 128 lanes, second
+    minor -> 8 sublanes; 1-D arrays unpadded); fit_msgs_budget is a
+    no-op off-TPU (the hermetic suite must never inherit a lowered
+    guard)."""
+    from dorylus_tpu.ops import hyb_spmm
+    from dorylus_tpu.ops.hyb_spmm import fit_msgs_budget, padded_nbytes
+
+    tree = {
+        "grid": np.zeros((1000, 32), np.int32),   # 1000*8? -> 1000 rows pad8
+        "flat": np.zeros(1000, np.float32),
+        "wide": np.zeros((16, 256), np.float32),
+    }
+    got = padded_nbytes(tree)
+    want = (1000 // 8 * 8 * 128 * 4       # grid: 1000 rows (already %8), 32->128
+            + 1000 * 4                     # flat: no padding
+            + 16 * 256 * 4)                # wide: 16%8==0, 256%128==0
+    assert got == want, (got, want)
+    before = hyb_spmm._MSGS_CHUNK_BYTES
+    assert fit_msgs_budget(50 << 30) == before  # CPU: unchanged
+    assert hyb_spmm._MSGS_CHUNK_BYTES == before
