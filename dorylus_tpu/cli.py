@@ -83,6 +83,17 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "below-cliff gather table stays below the 64 MB "
                         "regime cliff; unlimited past it), 0 = unlimited, "
                         "N = keep the N highest-count pairs")
+    p.add_argument("--halo", default="auto",
+                   choices=["auto", "padded", "ragged"],
+                   help="halo wire format: ragged = exact per-pair row "
+                        "counts via lax.ragged_all_to_all (TPU only; the "
+                        "reference's exact scatter), padded = fixed "
+                        "max_h rows per pair (works everywhere); auto = "
+                        "ragged on TPU meshes (parallel/halo.py)")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="disable the interior/boundary halo-overlap "
+                        "split (weak_scaling artifacts: helps degree "
+                        "1.42x, hurts hyb 0.89x on XLA:CPU)")
     p.add_argument("--compile-cache", default=None, metavar="DIR|off",
                    help="persistent XLA compile cache dir (default: "
                         "$DORYLUS_COMPILE_CACHE or ~/.cache/dorylus_tpu/"
@@ -131,6 +142,7 @@ def cmd_train(args) -> int:
         kernel=args.kernel, epochs_per_call=args.epochs_per_call,
         reuse=args.reuse, reuse_passes=args.reuse_passes,
         reuse_max_pairs=args.reuse_max_pairs,
+        halo=args.halo, overlap=not args.no_overlap,
         compile_cache=args.compile_cache,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         agg_dtype="bfloat16" if args.agg_bf16 else "float32",

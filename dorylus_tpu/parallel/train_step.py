@@ -368,6 +368,17 @@ class ShardedEngine:
         self.arrs = jax.tree.map(
             lambda v: jax.device_put(
                 v, NamedSharding(self.mesh, P(GRAPH_AXIS))), stacked)
+        if cfg.kernel == "hyb":
+            # Per-chip capacity: fit the msgs chunk guard to the HBM left
+            # after this shard's padded static footprint (leading shard
+            # axis splits every leaf across devices) — see
+            # engine.Engine.__init__ / ops/hyb_spmm.fit_msgs_budget.
+            from dorylus_tpu.ops.hyb_spmm import fit_msgs_budget, padded_nbytes
+            width = _max_agg_width(layers, cfg, self.sharded.vp)
+            w128 = -(-width // 128) * 128
+            table_rows = self.sharded.vp + n * self.sharded.max_h
+            fit_msgs_budget(padded_nbytes(stacked) // n,
+                            table_rows * w128 * 12, log)
         self.params = jax.device_put(
             self.model.init_params(seed=cfg.seed),
             NamedSharding(self.mesh, P()))
