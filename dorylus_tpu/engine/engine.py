@@ -78,9 +78,11 @@ def resolve_reuse_budget(cfg: TrainConfig, base_rows: int,
 
     Auto (reuse_max_pairs = -1): when the BASE gather table sits below
     the regime cliff, cap appended pair rows so the rewrite cannot push
-    it over (the measured Reddit-scale loss mode: crossing 64 MB cost
-    1.75x, benchmarks/results/reuse_r3.json); past the cliff the row cut
-    converts super-linearly and no cap applies. A sub-1024-row auto
+    it over (measured: the capped rewrite WINS 1.20x at Reddit scale and
+    the uncapped one loses 0.50x, benchmarks/results/reuse_budget_r4.json).
+    mine_reuse applies max_pairs PER PASS, so the cliff headroom is split
+    across reuse_passes. Past the cliff the row cut converts
+    super-linearly and no cap applies. A sub-1024-row per-pass auto
     budget cannot pay — reuse disables (explicit budgets are honored)."""
     from dorylus_tpu.models.gcn import AGG_CLIFF_BYTES
 
@@ -88,15 +90,18 @@ def resolve_reuse_budget(cfg: TrainConfig, base_rows: int,
     cap = cfg.reuse_max_pairs
     if cap < 0:
         if base_rows * width * item < AGG_CLIFF_BYTES:
-            cap = AGG_CLIFF_BYTES // (width * item) - base_rows
-            log("reuse auto pair budget: %d per pass (keeps the %d-wide "
-                "table under the gather cliff)", cap, width)
+            passes = max(1, cfg.reuse_passes)
+            cap = (AGG_CLIFF_BYTES // (width * item) - base_rows) // passes
+            if cap < 1024:  # includes 0 — too small to ever pay
+                log("reuse auto pair budget %d/pass is too small to pay "
+                    "(< 1024) — reuse off; pass --reuse-max-pairs to "
+                    "force", cap)
+                return max(cap, 0), False
+            log("reuse auto pair budget: %d per pass x %d pass(es) "
+                "(keeps the %d-wide table under the gather cliff)",
+                cap, passes, width)
         else:
             cap = 0  # already past the cliff: unlimited
-    if cfg.reuse_max_pairs < 0 and 0 < cap < 1024:
-        log("reuse auto pair budget %d is too small to pay (< 1024) — "
-            "reuse off; pass --reuse-max-pairs to force", cap)
-        return cap, False
     return max(cap, 0), True
 
 

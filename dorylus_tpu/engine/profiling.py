@@ -238,26 +238,12 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
         out[f"aggregate_l{l}_ms"] = _time(agg_fn)
 
     def _halo(halo_args):
-        # Split batches expect ghost-rows-only (halo_recv); combined
-        # batches expect the full table (halo_exchange) — mirror the
-        # engine's _halo_fn dispatch, planned backward included.
-        if not multi:
-            return None
-        send_idx, order, rows, rg = halo_args
-        if rg is not None:
-            from dorylus_tpu.parallel.halo import ragged_halo_recv
-            n_sh, mh = send_idx.shape
-
-            def recv(h):
-                return ragged_halo_recv(GRAPH_AXIS, n_sh, mh, h, rg)
-
-            if use_split:
-                return recv
-            return lambda h: jnp.concatenate([h, recv(h)], axis=0)
-        plan = None if order is None else (order, rows)
-        if use_split:
-            return lambda h: halo_recv(h, send_idx, plan=plan)
-        return lambda h: halo_exchange(h, send_idx, plan=plan)
+        # Split batches expect ghost-rows-only; combined batches expect
+        # the full table — the SAME dispatch the train step uses
+        # (parallel/halo.py make_halo_fn), so the profiler can never
+        # measure a different halo path than training runs.
+        from dorylus_tpu.parallel.halo import make_halo_fn
+        return make_halo_fn(halo_args, use_split, multi)
 
     def fwd_fn(params, batch, halo_args, c):
         k0 = next(iter(params))

@@ -105,7 +105,12 @@ def _mine_one(src: np.ndarray, dst: np.ndarray, table_size: int,
             sel[at] = False
     flag = cand & sel[inv]
     if not flag.any():
-        return (np.zeros((0, 2), np.int64), src, dst,
+        # Return the SORTED copy: callers (ReuseSpMM et al.) feed the
+        # rewritten list straight into build_hyb_plan, which requires CSC
+        # (dst-ascending) order — the native miner sorts its output in
+        # this case too, and returning the raw input here silently
+        # corrupted gradients when a direction mined zero pairs.
+        return (np.zeros((0, 2), np.int64), s, d,
                 {"candidates": int(cand.sum()), "pairs": 0})
 
     # Greedy non-overlap: alternate within each maximal run of flags.
@@ -124,7 +129,7 @@ def _mine_one(src: np.ndarray, dst: np.ndarray, table_size: int,
     take &= good[inv]
     kept = np.flatnonzero(good & sel)
     if len(kept) == 0:
-        return (np.zeros((0, 2), np.int64), src, dst,
+        return (np.zeros((0, 2), np.int64), s, d,  # sorted (see above)
                 {"candidates": int(cand.sum()), "pairs": 0})
     pair_of_key = np.full(len(uniq), -1, np.int64)
     pair_of_key[kept] = np.arange(len(kept))
@@ -163,7 +168,7 @@ def mine_reuse(src: np.ndarray, dst: np.ndarray, num_vertices: int,
     # few seconds — the difference between a toy lever and one that
     # reaches 100 M-edge production graphs.
     miner = (native.mine_pairs_native if native.has_mine_pairs()
-             else lambda s_, d_, t, mu, mp: _mine_one(s_, d_, t, mu, mp))
+             else _mine_one)
     for _ in range(max(1, passes)):
         pairs, s, d, st = miner(s, d, table_size, min_uses,
                                 max_pairs or 0)

@@ -70,6 +70,33 @@ def halo_recv(h: jnp.ndarray, send_idx: jnp.ndarray,
     return recv.reshape(-1, h.shape[1])
 
 
+def make_halo_fn(halo_args, overlap: bool, multi: bool):
+    """One halo callable from the batch's halo args — THE dispatch shared
+    by the train step and the stage profiler (wire format, planned
+    backward, and overlap semantics must never diverge between them).
+    halo_args = (send_idx, order, rows, ragged_plan); overlap=True
+    returns ghost rows only (halo_recv), else the full feature table.
+    None when single-shard."""
+    if not multi:
+        return None
+    send_idx, order, rows, rg = halo_args
+    if rg is not None:
+        # Exact wire format (TPU): lax.ragged_all_to_all ships each
+        # pair's exact row count — gcn_ops.cpp:204-260 analog.
+        n_sh, mh = send_idx.shape
+
+        def recv(h):
+            return ragged_halo_recv(GRAPH_AXIS, n_sh, mh, h, rg)
+
+        if overlap:
+            return recv
+        return lambda h: jnp.concatenate([h, recv(h)], axis=0)
+    plan = None if order is None else (order, rows)
+    if overlap:
+        return lambda h: halo_recv(h, send_idx, plan=plan)
+    return lambda h: halo_exchange(h, send_idx, plan=plan)
+
+
 def build_recv_plan(send_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Host-side backward plan for one shard's send lists: (order, rows)
     with order a stable argsort of the flattened send_idx and rows the

@@ -80,25 +80,9 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     data_spec = P(GRAPH_AXIS)
 
     def _halo_fn(halo_args):
-        if mesh.shape[GRAPH_AXIS] <= 1:
-            return None
-        send_idx, order, rows, rg = halo_args
-        if rg is not None:
-            # Exact wire format (TPU): lax.ragged_all_to_all ships each
-            # pair's exact row count — gcn_ops.cpp:204-260 analog.
-            from dorylus_tpu.parallel.halo import ragged_halo_recv
-            n_sh, mh = send_idx.shape
-
-            def recv(h):
-                return ragged_halo_recv(GRAPH_AXIS, n_sh, mh, h, rg)
-
-            if overlap:
-                return recv
-            return lambda h: jnp.concatenate([h, recv(h)], axis=0)
-        plan = None if order is None else (order, rows)
-        if overlap:
-            return lambda h: halo_recv(h, send_idx, plan=plan)
-        return lambda h: halo_exchange(h, send_idx, plan=plan)
+        from dorylus_tpu.parallel.halo import make_halo_fn
+        return make_halo_fn(halo_args, overlap,
+                            mesh.shape[GRAPH_AXIS] > 1)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), data_spec, P()),

@@ -208,3 +208,58 @@ def test_engine_reuse_requires_hyb_falls_back():
                              eval_every=0))
     from dorylus_tpu.ops.degree_spmm import DegreeSpMM
     assert isinstance(eng.model.spmm_op, DegreeSpMM)  # graceful fallback
+
+
+def test_numpy_miner_zero_pairs_returns_sorted(monkeypatch):
+    """Round-4 review regression: _mine_one's zero-pair early returns
+    handed back the dst-UNSORTED input, violating build_hyb_plan's CSC
+    requirement and silently corrupting gradients when one direction
+    mined nothing (the native miner always sorts). Both miners must
+    return dst-ascending output in every case."""
+    from dorylus_tpu import native
+    from dorylus_tpu.graph import reuse as reuse_mod
+
+    rng = np.random.default_rng(0)
+    # A random sparse graph mines ~no pairs; present it UNSORTED.
+    src = rng.integers(0, 50, 120).astype(np.int32)
+    dst = rng.integers(0, 50, 120).astype(np.int32)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    perm = rng.permutation(len(src))
+    src, dst = src[perm], dst[perm]
+    for miner in (reuse_mod._mine_one,
+                  native.mine_pairs_native if native.has_mine_pairs()
+                  else reuse_mod._mine_one):
+        pairs, s2, d2, _ = miner(src, dst, 50, 30, 0)  # min_uses 30: none
+        assert len(pairs) == 0
+        assert (np.diff(d2) >= 0).all(), "early return must be CSC-sorted"
+        # Same multiset of edges.
+        a = np.sort(s2.astype(np.int64) * 64 + d2)
+        b = np.sort(src.astype(np.int64) * 64 + dst)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_auto_budget_per_pass_and_zero_disable(monkeypatch):
+    """The auto budget splits the cliff headroom across reuse_passes
+    (mine_reuse caps PER PASS), and a computed headroom of 0 disables
+    reuse instead of meaning 'unlimited' downstream."""
+    import dorylus_tpu.models.gcn as gcn_mod
+    from dorylus_tpu.common.config import TrainConfig
+    from dorylus_tpu.engine.engine import resolve_reuse_budget
+
+    base, width = 1000, 16
+    item = 4  # f32
+    monkeypatch.setattr(gcn_mod, "AGG_CLIFF_BYTES",
+                        (base + 4096) * width * item)
+    cap1, on1 = resolve_reuse_budget(
+        TrainConfig(reuse="pairs", reuse_passes=1), base, width)
+    cap2, on2 = resolve_reuse_budget(
+        TrainConfig(reuse="pairs", reuse_passes=2), base, width)
+    assert on1 and cap1 == 4096
+    assert on2 and cap2 == 2048  # headroom / passes
+    # Headroom rounds to exactly 0 rows -> reuse OFF, never unlimited.
+    monkeypatch.setattr(gcn_mod, "AGG_CLIFF_BYTES",
+                        base * width * item + width * item - 1)
+    cap0, on0 = resolve_reuse_budget(
+        TrainConfig(reuse="pairs", reuse_passes=1), base, width)
+    assert cap0 == 0 and not on0
