@@ -278,7 +278,8 @@ def main():
                     labels=((np.arange(rv2) * 41) // rv2).astype(np.int32),
                     num_classes=41).finalize()
         ep_off = epoch_ms_warm(rg2, LayerConfig([602, 128, 41]), TrainConfig(
-            epochs=3, eval_every=0, kernel="hyb", agg_dtype="bfloat16"))
+            epochs=3, eval_every=0, kernel="hyb", agg_dtype="bfloat16",
+            reuse="off"))
         ep_reuse = epoch_ms_warm(rg2, LayerConfig([602, 128, 41]),
                                  TrainConfig(epochs=3, eval_every=0,
                                              kernel="hyb",

@@ -70,7 +70,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="gather aggregation tables in bfloat16 (f32 "
                         "accumulation): ~2x aggregation speed on TPU at "
                         "~1e-3 relative error; degree kernel only")
-    p.add_argument("--reuse", default="off", choices=["off", "pairs"],
+    p.add_argument("--reuse", default="auto",
+                   choices=["auto", "off", "pairs"],
                    help="mine common neighbor pairs into reusable gather-"
                         "table rows (exact; graph/reuse.py). Pays on "
                         "overlap-heavy real graphs — the gather is row-"

@@ -144,19 +144,20 @@ class TrainConfig:
     #  independent, so locality reordering could never save it)
     edge_chunk: int = 0  # SpMM edge-chunk size; 0 = unchunked
     optimize_order: bool = True  # transform-before-aggregate when it shrinks F
-    # Pair reuse ("off" | "pairs"): mine common neighbor pairs into
-    # appended gather-table rows (graph/reuse.py) — exact for both models
-    # (GCN rank-1 norms, GAT dst-only attention). The gather is ROW-rate-
-    # bound (tools/probe_narrow_gather.py). Measured on v5e community
-    # graphs (benchmarks/results/reuse_r3.json): at V=1.6M/E=24M the
-    # -27%/-33% row cut (passes=1/2) converts SUPER-linearly — 77.5 ->
-    # 126/145 M edges/s (1.6-1.9x) — because the table already sits in
-    # the slow >64MB gather regime. At Reddit scale (V=233k) it LOSES:
-    # appended pair rows push the 60 MB table over the regime cliff.
-    # A uniform-random graph yields ~no pairs and falls back gracefully.
-    # Mining is host-side, one-time (~70s/pass at 24M edges).
-    # Single-shard hyb kernel only.
-    reuse: str = "off"
+    # Pair reuse ("auto" | "off" | "pairs"): mine common neighbor pairs
+    # into appended gather-table rows (graph/reuse.py) — an EXACT rewrite
+    # for both models (GCN rank-1 norms, GAT dst-only attention). The
+    # gather is ROW-rate-bound (tools/probe_narrow_gather.py), so the row
+    # cut converts directly: measured v5e full-train-step wins of 1.50x
+    # GCN / 1.39x GAT at V=1.6M (reuse_epoch_r4.json) and 1.20-1.27x at
+    # Reddit scale with the auto pair budget capping the table at the
+    # gather cliff (reuse_budget_r4.json; uncapped it loses 0.50x).
+    # "auto" (default) mines (native, ~2-17 s at 11-100M edges) and keeps
+    # the rewrite only when the row cut clears engine.REUSE_AUTO_MIN_CUT —
+    # uniform-random graphs mine ~nothing and fall back for free;
+    # "pairs" forces it. hyb kernel only (both single-shard and sharded,
+    # ops/reuse_sharded.py).
+    reuse: str = "auto"
     reuse_passes: int = 1  # hierarchy depth (pairs-of-pairs beyond 1)
     # Pair budget per mining pass: -1 = auto (when the BASE table sits
     # below the gather cliff, cap pairs so appended rows cannot push it

@@ -72,6 +72,13 @@ def _max_agg_width(layers: LayerConfig, cfg: TrainConfig,
     return max(dims[:-1])
 
 
+# Minimum mined row cut for reuse="auto" to keep the rewrite: below this
+# the kernel win cannot cover the rewrite's build gathers / structural
+# differences (measured: 27-38% cuts win 1.2-1.5x, reuse_*_r4.json;
+# uniform-random graphs mine ~0%).
+REUSE_AUTO_MIN_CUT = 0.10
+
+
 def resolve_reuse_budget(cfg: TrainConfig, base_rows: int,
                          width: int) -> tuple[int, bool]:
     """(max_pairs, enabled) for the pair-reuse rewrite.
@@ -201,7 +208,8 @@ class Engine:
                     "throughput at >1M vertices (f32 must edge-chunk)")
             gather_dtype = (jnp.bfloat16 if cfg.agg_dtype == "bfloat16"
                             else None)
-            reuse_on = cfg.reuse == "pairs" and cfg.kernel == "hyb"
+            reuse_on = (cfg.reuse in ("pairs", "auto")
+                        and cfg.kernel == "hyb")
             if reuse_on:
                 width = _max_agg_width(layers, cfg, graph.num_vertices)
                 cap, reuse_on = resolve_reuse_budget(
@@ -210,9 +218,15 @@ class Engine:
                 # Pair-reuse rewrite (graph/reuse.py): both models have
                 # unit-weight inner sums (GCN via the rank-1 norm
                 # factorization f(src)·f(dst), GAT via dst-only
-                # attention), so the rewrite is exact.
+                # attention), so the rewrite is exact. "auto" (default)
+                # mines and keeps the rewrite only when the row cut
+                # clears REUSE_AUTO_MIN_CUT — measured wins: 1.20-1.27x
+                # epochs at Reddit scale with a 38% cut
+                # (reuse_budget_r4.json), 1.39-1.50x at V=1.6M with
+                # 27-33% (reuse_epoch_r4.json); uniform-random graphs
+                # mine ~nothing and fall back for free.
                 from dorylus_tpu.ops.reuse_spmm import ReuseSpMM
-                spmm_op = ReuseSpMM(
+                op = ReuseSpMM(
                     graph.src, graph.dst,
                     graph.num_vertices, graph.num_vertices,
                     feature_dim=width,
@@ -220,24 +234,24 @@ class Engine:
                     rank1_factor=(np.sqrt(graph.self_norm)
                                   if cfg.model == "gcn" else None),
                     passes=cfg.reuse_passes, max_pairs=cap)
-                st = spmm_op.plan_fwd.stats
-                log("pair reuse: %d fwd pairs, gathered rows %d -> %d "
-                    "(-%.1f%%)", spmm_op.plan_fwd.num_pairs,
-                    st["rows_before"], st["rows_after"],
-                    100 * st["row_reduction"])
-            else:
+                st = op.plan_fwd.stats
+                if (cfg.reuse == "auto"
+                        and st["row_reduction"] < REUSE_AUTO_MIN_CUT):
+                    log("reuse auto: row cut %.1f%% below the %.0f%% "
+                        "profitability floor — plain hyb",
+                        100 * st["row_reduction"],
+                        100 * REUSE_AUTO_MIN_CUT)
+                    reuse_on = False
+                else:
+                    spmm_op = op
+                    log("pair reuse: %d fwd pairs, gathered rows %d -> %d "
+                        "(-%.1f%%)", op.plan_fwd.num_pairs,
+                        st["rows_before"], st["rows_after"],
+                        100 * st["row_reduction"])
+            if not reuse_on:
                 if cfg.reuse == "pairs" and cfg.kernel != "hyb":
                     log("pair reuse requires kernel=hyb (have %s) — off",
                         cfg.kernel)
-                elif (cfg.kernel == "hyb" and cfg.num_shards == 1
-                      and graph.num_vertices > 1_000_000):
-                    # Large tables sit in the slow gather regime, where
-                    # the row reduction converts >1:1: measured 1.6-1.9x
-                    # at V=1.6M on a community graph
-                    # (benchmarks/results/reuse_r3.json); no-op on
-                    # uniform-random graphs (no repeated pairs).
-                    log("hint: --reuse pairs cuts aggregation 1.6-1.9x at "
-                        ">1M vertices on overlap-heavy (real) graphs")
                 kw = {}
                 if cfg.kernel == "hyb":
                     from dorylus_tpu.ops.hyb_spmm import HybSpMM as OpCls

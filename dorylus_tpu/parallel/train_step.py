@@ -256,8 +256,10 @@ class ShardedEngine:
             self.cfg = cfg
         spmm_op = None
         spmm_split = None
-        from dorylus_tpu.engine.engine import _max_agg_width, resolve_reuse_budget
-        reuse_on = cfg.reuse == "pairs" and cfg.kernel == "hyb"
+        from dorylus_tpu.engine.engine import (REUSE_AUTO_MIN_CUT,
+                                               _max_agg_width,
+                                               resolve_reuse_budget)
+        reuse_on = cfg.reuse in ("pairs", "auto") and cfg.kernel == "hyb"
         reuse_cap = 0
         if cfg.reuse == "pairs" and not reuse_on:
             log("pair reuse requires kernel=hyb (have %s) — off", cfg.kernel)
@@ -267,16 +269,6 @@ class ShardedEngine:
             base_rows = self.sharded.vp + n * self.sharded.max_h
             reuse_cap, reuse_on = resolve_reuse_budget(
                 cfg, base_rows, _max_agg_width(layers, cfg, base_rows))
-        if reuse_on and cfg.overlap and n > 1:
-            # Rewrites and the interior/boundary split are mutually
-            # exclusive (a pair may combine an interior and a ghost row);
-            # reuse runs the combined-plan path. XLA still schedules the
-            # halo collective alongside the independent dense work.
-            import dataclasses
-            cfg = dataclasses.replace(cfg, overlap=False)
-            self.cfg = cfg
-            log("pair reuse: interior/boundary overlap split disabled "
-                "(rewrites span the combined edge set)")
         stacked = self.sharded.stacked()
         # Halo wire format (TrainConfig.halo): exact (ragged) on real TPU
         # meshes; padded all_to_all elsewhere (XLA:CPU cannot lower
@@ -296,7 +288,7 @@ class ShardedEngine:
             # block-row counts; hyb: shared-DP bucket structure).
             if reuse_on:
                 from dorylus_tpu.ops.reuse_sharded import ShardedReuseSpMM
-                spmm_op = ShardedReuseSpMM(
+                op = ShardedReuseSpMM(
                     self.sharded,
                     feature_dim=_max_agg_width(layers, cfg,
                                                self.sharded.vp),
@@ -305,12 +297,32 @@ class ShardedEngine:
                     rank1_factor=(np.sqrt(graph.self_norm)
                                   if cfg.model == "gcn" else None),
                     passes=cfg.reuse_passes, max_pairs=reuse_cap)
-                rows_b = sum(m.stats["rows_before"] for m in spmm_op.plan_fwd)
-                rows_a = sum(m.stats["rows_after"] for m in spmm_op.plan_fwd)
-                log("sharded pair reuse: %d fwd pairs over %d shards, "
-                    "gathered rows %d -> %d (-%.1f%%)", spmm_op.num_pairs,
-                    n, rows_b, rows_a, 100 * (1 - rows_a / max(1, rows_b)))
-                stacked["spmm"] = spmm_op.arrays
+                rows_b = sum(m.stats["rows_before"] for m in op.plan_fwd)
+                rows_a = sum(m.stats["rows_after"] for m in op.plan_fwd)
+                cut = 1 - rows_a / max(1, rows_b)
+                if cfg.reuse == "auto" and cut < REUSE_AUTO_MIN_CUT:
+                    log("reuse auto: sharded row cut %.1f%% below the "
+                        "%.0f%% profitability floor — plain hyb",
+                        100 * cut, 100 * REUSE_AUTO_MIN_CUT)
+                    reuse_on = False
+                else:
+                    spmm_op = op
+                    log("sharded pair reuse: %d fwd pairs over %d shards, "
+                        "gathered rows %d -> %d (-%.1f%%)", op.num_pairs,
+                        n, rows_b, rows_a, 100 * cut)
+                    stacked["spmm"] = spmm_op.arrays
+                    if cfg.overlap and n > 1:
+                        # Rewrites and the interior/boundary split are
+                        # mutually exclusive (a pair may combine an
+                        # interior and a ghost row); reuse runs the
+                        # combined-plan path. XLA still schedules the halo
+                        # collective alongside the independent dense work.
+                        import dataclasses
+                        cfg = dataclasses.replace(cfg, overlap=False)
+                        self.cfg = cfg
+                        log("pair reuse: interior/boundary overlap split "
+                            "disabled (rewrites span the combined edge "
+                            "set)")
             if cfg.kernel == "hyb":
                 from dorylus_tpu.ops.hyb_sharded import ShardedHybSpMM as Op
             else:

@@ -263,3 +263,29 @@ def test_auto_budget_per_pass_and_zero_disable(monkeypatch):
     cap0, on0 = resolve_reuse_budget(
         TrainConfig(reuse="pairs", reuse_passes=1), base, width)
     assert cap0 == 0 and not on0
+
+
+def test_reuse_auto_engages_and_falls_back():
+    """reuse='auto' (the default) keeps the exact rewrite on overlap-heavy
+    graphs and falls back to plain hyb when mining is unprofitable
+    (uniform-random) — trajectories identical either way (exactness)."""
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.graph.graph import synthetic_graph
+    from dorylus_tpu.ops.hyb_spmm import HybSpMM
+    from dorylus_tpu.ops.reuse_spmm import ReuseSpMM
+
+    layers = LayerConfig([24, 12, 5])
+    kw = dict(epochs=4, eval_every=0, kernel="hyb")
+    g = _overlap_graph_obj()
+    eng = Engine(g, layers, TrainConfig(reuse="auto", **kw))
+    assert isinstance(eng.model.spmm_op, ReuseSpMM)
+    r_auto = eng.run()
+    r_off = Engine(g, layers, TrainConfig(reuse="off", **kw)).run()
+    np.testing.assert_allclose(
+        [e.loss for e in r_auto.epochs], [e.loss for e in r_off.epochs],
+        rtol=2e-3, atol=2e-3)
+
+    rnd = synthetic_graph(400, 6, 24, 5, seed=11)
+    eng2 = Engine(rnd, layers, TrainConfig(reuse="auto", **kw))
+    assert isinstance(eng2.model.spmm_op, HybSpMM)  # unprofitable -> plain

@@ -103,8 +103,11 @@ def run_once(args, n: int) -> dict:
     layers = LayerConfig([args.feature_dim, 32, args.classes])
     mesh = make_mesh(n)
     overlap_first = args.overlap != "off"
+    # reuse pinned off: this harness measures the SCALING of one fixed
+    # kernel; auto-reuse swapping the op between shard counts would muddy
+    # the efficiency ratio (reuse has its own artifacts, reuse_*_r4.json).
     cfg = TrainConfig(epochs=args.epochs, eval_every=0, kernel=args.kernel,
-                      model=args.model, overlap=overlap_first)
+                      model=args.model, overlap=overlap_first, reuse="off")
     eng = ShardedEngine(g, layers, cfg, mesh=mesh)
     rec = {"shards": n, "vertices": g.num_vertices, "edges": g.num_edges,
            "overlap": overlap_first}
