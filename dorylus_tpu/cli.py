@@ -117,6 +117,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", default=None, help="report file (output_<node>)")
+    p.add_argument("--profile", action="store_true",
+                   help="per-stage timing brackets in the report "
+                        "(Aggregation/ApplyVertex/Scatter analog, "
+                        "engine/utils.cpp:154-192)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a jax platform before the first op (the "
                         "site pre-imports jax, so plain JAX_PLATFORMS env "
@@ -208,6 +212,13 @@ def cmd_train(args) -> int:
     # Surface which aggregation kernel/fallback the engine actually chose
     # (the engine may auto-upgrade "xla" to dst-blocked at large V).
     log("aggregation kernel: %s", report.notes.get("kernel", cfg.kernel))
+    if args.profile:
+        # Per-stage brackets (halo / aggregate / forward / loss+grad) —
+        # the reference's output_<node> per-stage report
+        # (engine/utils.cpp:154-192); lands in the report's stage_times.
+        times = eng.profile()
+        for k, v in times.items():
+            log("stage %-18s %8.2f ms", k, v)
     print(report.summary())
     if args.output:
         report.write(args.output)
