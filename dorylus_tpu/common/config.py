@@ -102,6 +102,12 @@ class TrainConfig:
 
     # Parallelism
     num_shards: int = 1  # vertex shards over the mesh 'graph' axis
+    # Feature/tensor parallelism over the mesh 'feat' axis (GCN): each
+    # feat shard aggregates an F/m column slice (the byte-rate-bound
+    # gather splits m ways) and the layer matmuls psum partial products.
+    # A TPU-native extension absent upstream; every non-output layer
+    # width must divide by it. 1 = off.
+    feat_shards: int = 1
     overlap: bool = True  # interior/boundary split: overlap halo with compute
     # Halo wire format ("auto" | "padded" | "ragged"): padded ships max_h
     # rows per (shard, peer) pair (the only format XLA:CPU lowers);

@@ -53,10 +53,35 @@ def past_agg_cliff(op, n_rows: int, narrow_width: int) -> bool:
             and n_rows * narrow_width * 2 >= AGG_CLIFF_BYTES)
 
 
+@jax.custom_vjp
+def _complete_grad_feat(x):
+    """Identity whose backward psums the cotangent over the 'feat' mesh
+    axis. Under manual shard_map (check_vma=False) a feat-REPLICATED
+    activation consumed through per-shard column slices receives only
+    each shard's partial cotangent; the true cotangent of a replicated
+    value is the sum over shards — this op inserts exactly that psum
+    (the standard manual-mode TP idiom)."""
+    return x
+
+
+def _cgf_fwd(x):
+    return x, None
+
+
+def _cgf_bwd(_, g):
+    from dorylus_tpu.parallel.mesh import FEAT_AXIS
+
+    return (jax.lax.psum(g, FEAT_AXIS),)
+
+
+_complete_grad_feat.defvjp(_cgf_fwd, _cgf_bwd)
+
+
 class GCN:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
                  edge_chunk: int = 0, optimize_order: bool = True,
-                 spmm_op=None, blk_rows: int = 0, spmm_split=None):
+                 spmm_op=None, blk_rows: int = 0, spmm_split=None,
+                 feat_shards: int = 1):
         """sorted_dst: edge arrays are CSC-ordered (dst ascending) — both
         build_batch and partition_graph guarantee this.
 
@@ -85,6 +110,12 @@ class GCN:
         # dst-blocked aggregation (large-V segment_sum cliff): static block
         # row count; batch.aux["blk"] carries the arrays when enabled.
         self.blk_rows = blk_rows
+        # Feature/tensor parallelism over the mesh 'feat' axis (>1 =
+        # _forward_tp): each feat shard aggregates an F/m column slice —
+        # the aggregation gather is BYTE-rate-bound, so this splits the
+        # wall m ways — and the layer matmul psums partial products.
+        # A TPU-native extension; the reference has no model parallelism.
+        self.feat_shards = feat_shards
 
     def _aggregate_split(self, h, batch, ghosts):
         """Overlap path: interior aggregation has no dependency on the halo
@@ -158,6 +189,39 @@ class GCN:
             params[f"w{l}"] = jnp.asarray(w)
         return params
 
+    def _forward_tp(self, params: Params, batch: GraphBatch,
+                    halo: Optional[HaloFn],
+                    compute_dtype: jnp.dtype) -> jnp.ndarray:
+        """Tensor-parallel forward (feat_shards > 1, inside a 2-axis
+        shard_map): per layer, slice the feat shard's h columns, halo +
+        aggregate at F/m width (all collectives on the 'graph' axis only),
+        matmul against the matching W row block, then psum the partial
+        products over 'feat' — z (and hence the loss) is identical on
+        every feat shard. Aggregate-first always (the slice already
+        narrows the table; ordering games don't compose with TP).
+        Backward: _complete_grad_feat restores the replicated h cotangent;
+        the engine psums grads over BOTH axes."""
+        from dorylus_tpu.parallel.mesh import FEAT_AXIS
+
+        m = self.feat_shards
+        h = batch.x.astype(compute_dtype)
+        fi = jax.lax.axis_index(FEAT_AXIS)
+        for l in range(self.layers.num_layers):
+            w = params[f"w{l}"].astype(compute_dtype)
+            assert h.shape[1] % m == 0, \
+                f"layer {l} width {h.shape[1]} not divisible by " \
+                f"feat_shards={m}"
+            blk = h.shape[1] // m
+            h = _complete_grad_feat(h)
+            hs = jax.lax.dynamic_slice_in_dim(h, fi * blk, blk, axis=1)
+            ah = self._agg_halo(hs, batch, halo)
+            ws = jax.lax.dynamic_slice_in_dim(w, fi * blk, blk, axis=0)
+            z = jax.lax.psum(
+                jnp.dot(ah, ws, preferred_element_type=jnp.float32),
+                FEAT_AXIS)
+            h = jnp.tanh(z) if l < self.layers.num_layers - 1 else z
+        return h
+
     def forward(
         self,
         params: Params,
@@ -168,6 +232,10 @@ class GCN:
     ):
         """Returns logits (Vp, C); with return_intermediates, also the list
         of (ah, z, h) per layer for oracle tests."""
+        if self.feat_shards > 1:
+            assert not return_intermediates, "TP path: no intermediates"
+            assert batch.src_int is None, "TP path requires overlap=False"
+            return self._forward_tp(params, batch, halo, compute_dtype)
         num_layers = self.layers.num_layers
         h = batch.x.astype(compute_dtype)
         inter = []

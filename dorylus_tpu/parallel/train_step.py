@@ -75,6 +75,13 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
     # boundary plan pairs (round 2 disabled it exactly where auto picks
     # degree — the scale where overlap matters most).
     overlap = getattr(cfg, "overlap", True) and mesh.shape[GRAPH_AXIS] > 1
+    from dorylus_tpu.parallel.mesh import FEAT_AXIS
+    # Weight grads reduce over BOTH axes under tensor parallelism: 'graph'
+    # sums vertex-shard contributions, 'feat' assembles the per-shard W
+    # row blocks (models/gcn.py _forward_tp). Loss/eval stats stay
+    # graph-only (identical across feat shards by construction).
+    grad_axes = ((GRAPH_AXIS, FEAT_AXIS)
+                 if mesh.shape.get(FEAT_AXIS, 1) > 1 else GRAPH_AXIS)
     # A prefix spec: every arrs leaf is sharded along its leading shard axis
     # (including nested SpMM plan arrays).
     data_spec = P(GRAPH_AXIS)
@@ -101,7 +108,7 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
         # the single-device Engine; sync mode passes grad_params = params.
         loss, grads = jax.value_and_grad(local_loss)(grad_params)
         # All-reduce: the whole weight-server tier in one op.
-        grads = jax.lax.psum(grads, GRAPH_AXIS)
+        grads = jax.lax.psum(grads, grad_axes)
         loss = jax.lax.psum(loss, GRAPH_AXIS)
         if cfg.adam:
             params, opt_state = adam_update(
@@ -154,7 +161,7 @@ def build_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, denom: float):
                     grad_params = params
                 lr, flag = lr_flag
                 loss, grads = jax.value_and_grad(local_loss)(grad_params)
-                grads = jax.lax.psum(grads, GRAPH_AXIS)
+                grads = jax.lax.psum(grads, grad_axes)
                 loss = jax.lax.psum(loss, GRAPH_AXIS)
                 if cfg.adam:
                     params, opt_state = adam_update(
@@ -236,8 +243,27 @@ class ShardedEngine:
         self.graph = graph
         self.layers = layers
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_shards)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.num_shards, feat_shards=cfg.feat_shards)
         n = self.mesh.shape[GRAPH_AXIS]
+        from dorylus_tpu.parallel.mesh import FEAT_AXIS
+        feat = self.mesh.shape.get(FEAT_AXIS, 1)
+        if feat > 1:
+            # Tensor parallelism (models/gcn.py _forward_tp): GCN only,
+            # combined-plan path (the interior/boundary split and the TP
+            # column slices don't compose — the slice already narrows the
+            # halo, which is what overlap mostly buys).
+            assert cfg.model == "gcn", "feat_shards>1 supports GCN (v1)"
+            for d in layers.dims[:-1]:
+                assert d % feat == 0, \
+                    f"layer width {d} not divisible by feat_shards={feat}"
+            if cfg.overlap:
+                import dataclasses
+                cfg = dataclasses.replace(cfg, overlap=False)
+                self.cfg = cfg
+            log("tensor parallelism: %d feat shards x %d graph shards",
+                feat, n)
+        self._feat = feat
         self.sharded = partition_graph(
             graph, n, method=partition_method, parts=parts,
             for_gat=cfg.model == "gat")
@@ -356,7 +382,7 @@ class ShardedEngine:
                 stacked["spmm"] = spmm_op.arrays
         self.model = (GCN(layers, edge_chunk=cfg.edge_chunk,
                           optimize_order=cfg.optimize_order, spmm_op=spmm_op,
-                          spmm_split=spmm_split)
+                          spmm_split=spmm_split, feat_shards=feat)
                       if cfg.model == "gcn"
                       else GAT(layers, edge_chunk=cfg.edge_chunk,
                                spmm_op=spmm_op, spmm_split=spmm_split))
