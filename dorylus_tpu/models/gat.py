@@ -45,10 +45,15 @@ from dorylus_tpu.ops.spmm import spmm_dst_blocked, spmm_edgewise, take_sorted
 class GAT:
     def __init__(self, layers: LayerConfig, sorted_dst: bool = True,
                  edge_chunk: int = 0, spmm_op=None, blk_rows: int = 0,
-                 spmm_split=None):
+                 spmm_split=None, feat_shards: int = 1):
         self.layers = layers
         self.sorted_dst = sorted_dst
         self.edge_chunk = edge_chunk
+        # Tensor parallelism over the mesh 'feat' axis (>1 = _forward_tp;
+        # see models/gcn.py — the same column-slice + psum pattern, with
+        # the attention matvec computed block-wise so d(a) assembles
+        # under the dual-axis grad reduction instead of over-counting).
+        self.feat_shards = feat_shards
         # Optional bound SpMM op; its fused-SDDMM backward supplies the
         # attention-value gradients (replacing gat hand-derived backward).
         self.spmm_op = spmm_op
@@ -71,6 +76,83 @@ class GAT:
                 winit.kaiming_reference(dims[l + 1], 1, seed=seed))
         return params
 
+    def _forward_tp(self, params: Params, batch: GraphBatch,
+                    halo: Optional[HaloFn],
+                    compute_dtype: jnp.dtype) -> jnp.ndarray:
+        """Tensor-parallel GAT (feat_shards > 1, 2-axis shard_map).
+
+        Per layer: z = psum_f(h_slice @ W_block) is full on every feat
+        shard; the attention matvec runs BLOCK-wise (za = psum_f of
+        column-masked z @ a) so each shard's d(a) covers only its rows
+        and the dual-axis grad psum assembles — a replicated za would
+        over-count d(a) by m. Aggregation slices z's columns when the
+        layer width divides feat_shards (halo + gather at F/m width, the
+        TP win), else runs full-replicated (the narrow output layer).
+        _complete_grad_feat marks every replicated-value fork consumed
+        through per-shard slices (models/gcn.py)."""
+        import jax
+
+        from dorylus_tpu.models.gcn import _complete_grad_feat, _psum_feat
+        from dorylus_tpu.parallel.mesh import FEAT_AXIS
+
+        m = self.feat_shards
+        fi = jax.lax.axis_index(FEAT_AXIS)
+        h = batch.x.astype(compute_dtype)
+        arrays = (batch.aux or {}).get(
+            "spmm", None if self.spmm_op is None else self.spmm_op.arrays)
+        for l in range(self.layers.num_layers):
+            w = params[f"w{l}"].astype(compute_dtype)
+            a = params[f"a{l}"].astype(compute_dtype)
+            assert h.shape[1] % m == 0
+            blk = h.shape[1] // m
+            h = _complete_grad_feat(h)
+            hs = jax.lax.dynamic_slice_in_dim(h, fi * blk, blk, axis=1)
+            ws = jax.lax.dynamic_slice_in_dim(w, fi * blk, blk, axis=0)
+            z = _psum_feat(
+                jnp.dot(hs, ws, preferred_element_type=jnp.float32)
+            ).astype(compute_dtype)
+            fo = z.shape[1]
+            # Block-wise attention matvec: column-masked partial products
+            # (a mask handles widths that don't divide m, e.g. the output
+            # layer) — d(a) lands block-local on each shard.
+            lo = fi * fo // m
+            hi = (fi + 1) * fo // m
+            cmask = ((jax.lax.iota(jnp.int32, fo) >= lo)
+                     & (jax.lax.iota(jnp.int32, fo) < hi))
+            zf = _complete_grad_feat(z)
+            za = _psum_feat(
+                jnp.dot(zf * cmask[None, :].astype(zf.dtype), a,
+                        preferred_element_type=jnp.float32))[:, 0]
+            att = leaky_relu(za)
+            if fo % m == 0 and self.spmm_op is not None:
+                blk_o = fo // m
+                zc = _complete_grad_feat(z)
+                zs = jax.lax.dynamic_slice_in_dim(zc, fi * blk_o, blk_o,
+                                                  axis=1)
+                att_s = _complete_grad_feat(att)  # partial agg consumers
+                table = halo(zs) if halo is not None else zs
+                agg_s = self.spmm_op.apply_dst(arrays, table, att_s)
+                agg = _psum_feat(
+                    jax.lax.dynamic_update_slice(
+                        jnp.zeros_like(z),
+                        agg_s.astype(z.dtype), (0, fi * blk_o)))
+            else:
+                # Full-replicated aggregation (no slicing win; identical
+                # on every feat shard, so no cotangent completion).
+                table = halo(z) if halo is not None else z
+                if self.spmm_op is not None:
+                    agg = self.spmm_op.apply_dst(arrays, table,
+                                                 att).astype(z.dtype)
+                else:
+                    av = leaky_relu(take_sorted(za, batch.dst, za.shape[0])) \
+                        * batch.edge_val.astype(compute_dtype)
+                    agg = spmm_edgewise(table, batch.src, batch.dst, av,
+                                        z.shape[0],
+                                        sorted_dst=self.sorted_dst,
+                                        edge_chunk=self.edge_chunk)
+            h = z + agg
+        return h
+
     def forward(
         self,
         params: Params,
@@ -79,6 +161,10 @@ class GAT:
         compute_dtype: jnp.dtype = jnp.float32,
         return_intermediates: bool = False,
     ):
+        if self.feat_shards > 1:
+            assert not return_intermediates, "TP path: no intermediates"
+            assert batch.src_int is None, "TP path requires overlap=False"
+            return self._forward_tp(params, batch, halo, compute_dtype)
         num_layers = self.layers.num_layers
         h = batch.x.astype(compute_dtype)
         # For GAT, batch.edge_val is a {0,1} mask (padding edges 0); the

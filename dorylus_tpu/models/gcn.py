@@ -53,14 +53,25 @@ def past_agg_cliff(op, n_rows: int, narrow_width: int) -> bool:
             and n_rows * narrow_width * 2 >= AGG_CLIFF_BYTES)
 
 
+# Manual-mode tensor-parallel AD idioms (shard_map check_vma=False skips
+# jax's replication bookkeeping, so the TP forward must place these two
+# ops itself — MEASURED: grad(lax.psum) under check_vma=False is another
+# psum, so a raw psum whose output cotangent is replicated-identical
+# over-counts gradients m-fold; Adam's per-parameter scale invariance
+# masked exactly this bug until GAT mixed differently-scaled paths):
+#
+#   * _complete_grad_feat — identity fwd; bwd psums the cotangent. Wrap
+#     a feat-REPLICATED value at each fork that per-shard slices consume:
+#     the true cotangent of a replicated value is the SUM of the shards'
+#     partial cotangents.
+#   * _psum_feat — psum fwd; bwd identity. Use for partial-product
+#     assembly whose OUTPUT cotangent is replicated-identical (the layer
+#     matmul z, the attention matvec za, the agg block assembly): each
+#     shard's partial truly receives d(out), not m·d(out).
+
+
 @jax.custom_vjp
 def _complete_grad_feat(x):
-    """Identity whose backward psums the cotangent over the 'feat' mesh
-    axis. Under manual shard_map (check_vma=False) a feat-REPLICATED
-    activation consumed through per-shard column slices receives only
-    each shard's partial cotangent; the true cotangent of a replicated
-    value is the sum over shards — this op inserts exactly that psum
-    (the standard manual-mode TP idiom)."""
     return x
 
 
@@ -75,6 +86,24 @@ def _cgf_bwd(_, g):
 
 
 _complete_grad_feat.defvjp(_cgf_fwd, _cgf_bwd)
+
+
+@jax.custom_vjp
+def _psum_feat(x):
+    from dorylus_tpu.parallel.mesh import FEAT_AXIS
+
+    return jax.lax.psum(x, FEAT_AXIS)
+
+
+def _psf_fwd(x):
+    return _psum_feat(x), None
+
+
+def _psf_bwd(_, g):
+    return (g,)
+
+
+_psum_feat.defvjp(_psf_fwd, _psf_bwd)
 
 
 class GCN:
@@ -199,8 +228,10 @@ class GCN:
         products over 'feat' — z (and hence the loss) is identical on
         every feat shard. Aggregate-first always (the slice already
         narrows the table; ordering games don't compose with TP).
-        Backward: _complete_grad_feat restores the replicated h cotangent;
-        the engine psums grads over BOTH axes."""
+        Backward: _complete_grad_feat restores the replicated h cotangent
+        and _psum_feat keeps the partial-product assembly's transpose an
+        identity (see the idiom block above); the engine psums grads over
+        BOTH axes, which assembles the per-shard W row blocks."""
         from dorylus_tpu.parallel.mesh import FEAT_AXIS
 
         m = self.feat_shards
@@ -216,9 +247,8 @@ class GCN:
             hs = jax.lax.dynamic_slice_in_dim(h, fi * blk, blk, axis=1)
             ah = self._agg_halo(hs, batch, halo)
             ws = jax.lax.dynamic_slice_in_dim(w, fi * blk, blk, axis=0)
-            z = jax.lax.psum(
-                jnp.dot(ah, ws, preferred_element_type=jnp.float32),
-                FEAT_AXIS)
+            z = _psum_feat(
+                jnp.dot(ah, ws, preferred_element_type=jnp.float32))
             h = jnp.tanh(z) if l < self.layers.num_layers - 1 else z
         return h
 

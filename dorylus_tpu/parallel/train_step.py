@@ -249,11 +249,10 @@ class ShardedEngine:
         from dorylus_tpu.parallel.mesh import FEAT_AXIS
         feat = self.mesh.shape.get(FEAT_AXIS, 1)
         if feat > 1:
-            # Tensor parallelism (models/gcn.py _forward_tp): GCN only,
+            # Tensor parallelism (models/gcn.py / gat.py _forward_tp):
             # combined-plan path (the interior/boundary split and the TP
             # column slices don't compose — the slice already narrows the
             # halo, which is what overlap mostly buys).
-            assert cfg.model == "gcn", "feat_shards>1 supports GCN (v1)"
             for d in layers.dims[:-1]:
                 assert d % feat == 0, \
                     f"layer width {d} not divisible by feat_shards={feat}"
@@ -385,7 +384,8 @@ class ShardedEngine:
                           spmm_split=spmm_split, feat_shards=feat)
                       if cfg.model == "gcn"
                       else GAT(layers, edge_chunk=cfg.edge_chunk,
-                               spmm_op=spmm_op, spmm_split=spmm_split))
+                               spmm_op=spmm_op, spmm_split=spmm_split,
+                               feat_shards=feat))
         # Place each shard's block on its device (leading axis sharded).
         self.arrs = jax.tree.map(
             lambda v: jax.device_put(
