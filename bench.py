@@ -298,18 +298,19 @@ def main():
     # kernel="hyb" is what auto resolves to at this scale (config.py).
     layers = LayerConfig([602, 128, 41])
     epoch_gcn = epoch_ms_warm(g, layers, TrainConfig(
-        epochs=3, eval_every=0, kernel="hyb"))
+        epochs=3, eval_every=0, kernel="hyb", reuse="off"))
     epoch_gcn_bf16 = epoch_ms_warm(g, layers, TrainConfig(
-        epochs=3, eval_every=0, kernel="hyb", agg_dtype="bfloat16"))
+        epochs=3, eval_every=0, kernel="hyb", agg_dtype="bfloat16",
+        reuse="off"))
     # GAT (the reference's run-reddit-gat benchmark; a slot-grid kernel —
     # the edgewise VJP's chunk-scan residuals exceed HBM in TPU compile at
     # this scale, see config.py resolve_kernel).
     epoch_gat = epoch_ms_warm(g, layers, TrainConfig(
         model="gat", epochs=3, eval_every=0, kernel="hyb",
-        learning_rate=0.005))
+        learning_rate=0.005, reuse="off"))
     epoch_gat_bf16 = epoch_ms_warm(g, layers, TrainConfig(
         model="gat", epochs=3, eval_every=0, kernel="hyb",
-        learning_rate=0.005, agg_dtype="bfloat16"))
+        learning_rate=0.005, agg_dtype="bfloat16", reuse="off"))
 
     print(json.dumps({
         "metric": "spmm_aggregation_edges_per_s_per_chip",

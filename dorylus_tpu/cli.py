@@ -36,7 +36,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--feat-shards", type=int, default=1,
                    help="tensor parallelism: mesh 'feat' axis size — "
                         "column-sliced aggregation + psum'd layer "
-                        "matmuls (layer widths must divide it)")
+                        "matmuls (must divide every layer width)")
     p.add_argument("--shards", type=int, default=1,
                    help="vertex shards over the device mesh (1 = single chip)")
     p.add_argument("--partition", default="range",

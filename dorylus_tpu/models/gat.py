@@ -119,14 +119,17 @@ class GAT:
             hi = (fi + 1) * fo // m
             cmask = ((jax.lax.iota(jnp.int32, fo) >= lo)
                      & (jax.lax.iota(jnp.int32, fo) < hi))
-            zf = _complete_grad_feat(z)
+            # ONE wrapped fork of z serves both slice-like consumers (the
+            # attention matvec mask and the aggregation slice): the wrap's
+            # backward psum sums ALL partial cotangents at once — two
+            # wraps would emit two (V, F) feat-axis collectives per layer.
+            zc = _complete_grad_feat(z)
             za = _psum_feat(
-                jnp.dot(zf * cmask[None, :].astype(zf.dtype), a,
+                jnp.dot(zc * cmask[None, :].astype(zc.dtype), a,
                         preferred_element_type=jnp.float32))[:, 0]
             att = leaky_relu(za)
             if fo % m == 0 and self.spmm_op is not None:
                 blk_o = fo // m
-                zc = _complete_grad_feat(z)
                 zs = jax.lax.dynamic_slice_in_dim(zc, fi * blk_o, blk_o,
                                                   axis=1)
                 att_s = _complete_grad_feat(att)  # partial agg consumers

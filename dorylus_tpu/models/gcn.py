@@ -231,7 +231,16 @@ class GCN:
         Backward: _complete_grad_feat restores the replicated h cotangent
         and _psum_feat keeps the partial-product assembly's transpose an
         identity (see the idiom block above); the engine psums grads over
-        BOTH axes, which assembles the per-shard W row blocks."""
+        BOTH axes, which assembles the per-shard W row blocks.
+
+        Layer ordering follows the non-TP rule (transform first when the
+        layer shrinks): aggregation and the halo then run at
+        min(F_in, F_out)/m width — without this, TP on a shrinking layer
+        (Reddit 602->128 at m=2) would halo/gather 301-wide, MORE bytes
+        than the single-device 128-wide path it is meant to split. The
+        transform-first slice aggregates z's columns and psum-assembles
+        the blocks (the GAT TP pattern); an output width that doesn't
+        divide m falls back to aggregate-first."""
         from dorylus_tpu.parallel.mesh import FEAT_AXIS
 
         m = self.feat_shards
@@ -245,10 +254,25 @@ class GCN:
             blk = h.shape[1] // m
             h = _complete_grad_feat(h)
             hs = jax.lax.dynamic_slice_in_dim(h, fi * blk, blk, axis=1)
-            ah = self._agg_halo(hs, batch, halo)
             ws = jax.lax.dynamic_slice_in_dim(w, fi * blk, blk, axis=0)
-            z = _psum_feat(
-                jnp.dot(ah, ws, preferred_element_type=jnp.float32))
+            transform_first = (self.optimize_order
+                               and w.shape[0] > w.shape[1]
+                               and w.shape[1] % m == 0)
+            if transform_first:
+                hw = _psum_feat(
+                    jnp.dot(hs, ws, preferred_element_type=jnp.float32))
+                blk_o = hw.shape[1] // m
+                hwc = _complete_grad_feat(hw)
+                hws = jax.lax.dynamic_slice_in_dim(hwc, fi * blk_o, blk_o,
+                                                   axis=1)
+                agg_s = self._agg_halo(hws, batch, halo)
+                z = _psum_feat(jax.lax.dynamic_update_slice(
+                    jnp.zeros_like(hw), agg_s.astype(hw.dtype),
+                    (0, fi * blk_o)))
+            else:
+                ah = self._agg_halo(hs, batch, halo)
+                z = _psum_feat(
+                    jnp.dot(ah, ws, preferred_element_type=jnp.float32))
             h = jnp.tanh(z) if l < self.layers.num_layers - 1 else z
         return h
 

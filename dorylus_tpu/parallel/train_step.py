@@ -248,6 +248,11 @@ class ShardedEngine:
         n = self.mesh.shape[GRAPH_AXIS]
         from dorylus_tpu.parallel.mesh import FEAT_AXIS
         feat = self.mesh.shape.get(FEAT_AXIS, 1)
+        if cfg.feat_shards > 1 and feat != cfg.feat_shards:
+            raise ValueError(
+                f"cfg.feat_shards={cfg.feat_shards} but the mesh has "
+                f"feat axis size {feat} — build it with "
+                f"make_mesh(n, feat_shards={cfg.feat_shards})")
         if feat > 1:
             # Tensor parallelism (models/gcn.py / gat.py _forward_tp):
             # combined-plan path (the interior/boundary split and the TP
@@ -290,10 +295,13 @@ class ShardedEngine:
             log("pair reuse requires kernel=hyb (have %s) — off", cfg.kernel)
         if reuse_on:
             # Budget against the per-shard GATHER table (local + ghost
-            # rows) — that is the array the regime cliff is about.
+            # rows) — that is the array the regime cliff is about. Under
+            # tensor parallelism each feat shard gathers a width/m column
+            # slice, so the cliff math uses the SLICED width (a full-width
+            # predicate would be m-fold wrong in both directions).
             base_rows = self.sharded.vp + n * self.sharded.max_h
-            reuse_cap, reuse_on = resolve_reuse_budget(
-                cfg, base_rows, _max_agg_width(layers, cfg, base_rows))
+            width = max(1, _max_agg_width(layers, cfg, base_rows) // feat)
+            reuse_cap, reuse_on = resolve_reuse_budget(cfg, base_rows, width)
         stacked = self.sharded.stacked()
         # Halo wire format (TrainConfig.halo): exact (ragged) on real TPU
         # meshes; padded all_to_all elsewhere (XLA:CPU cannot lower

@@ -119,3 +119,31 @@ def test_tp_gradients_exact(model_name, lr):
     for k in g1:
         np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_tp_with_reuse_matches_plain():
+    """TP composes with the pair-reuse rewrite (the budget is computed
+    against the SLICED table width under TP); trajectory must match the
+    plain single-device run on an overlap-heavy graph."""
+    from tests.test_reuse import _overlap_graph_obj
+
+    g = _overlap_graph_obj()
+    layers = LayerConfig([24, 12, 5])
+    kw = dict(epochs=4, eval_every=0, kernel="hyb")
+    r1 = Engine(g, layers, TrainConfig(reuse="off", **kw)).run()
+    import dataclasses
+    cfg2 = TrainConfig(reuse="pairs", feat_shards=2, num_shards=2, **kw)
+    eng = ShardedEngine(g, layers, cfg2, mesh=make_mesh(2, feat_shards=2))
+    from dorylus_tpu.ops.reuse_sharded import ShardedReuseSpMM
+    assert isinstance(eng.model.spmm_op, ShardedReuseSpMM)
+    r2 = eng.run()
+    for e1, e2 in zip(r1.epochs, r2.epochs):
+        np.testing.assert_allclose(e1.loss, e2.loss, rtol=2e-3, atol=2e-3)
+
+
+def test_tp_mesh_mismatch_raises():
+    g = synthetic_graph(200, 5, 16, 4, seed=3)
+    with pytest.raises(ValueError, match="feat axis"):
+        ShardedEngine(g, LayerConfig([16, 8, 4]),
+                      TrainConfig(epochs=1, feat_shards=2, reuse="off"),
+                      mesh=make_mesh(4))  # no feat axis of size 2
