@@ -160,7 +160,11 @@ def main():
             # full differentiable path).
             return spmm_hyb(h, fwd, V, gather_dtype=gd, n_iso=n_iso)
 
-        dt = time_loop(agg, h, op.arrays["fwd"], iters=iters)
+        # Median-of-3 for the headline dtype: remote-tunnel scheduling
+        # jitter moved single runs by ±2% across rounds.
+        reps = 3 if name == "bf16" else 1
+        dt = sorted(time_loop(agg, h, op.arrays["fwd"], iters=iters)
+                    for _ in range(reps))[reps // 2]
         results[name] = dt
         if name == "bf16":
             # Dynamic per-edge values (the GAT-style workload) as an extra.
