@@ -73,7 +73,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--agg-bf16", action="store_true",
                    help="gather aggregation tables in bfloat16 (f32 "
                         "accumulation): ~2x aggregation speed on TPU at "
-                        "~1e-3 relative error; degree kernel only")
+                        "~1e-3 relative error (slot kernels: hyb and "
+                        "degree — the headline mode)")
     p.add_argument("--reuse", default="auto",
                    choices=["auto", "off", "pairs"],
                    help="mine common neighbor pairs into reusable gather-"
