@@ -562,12 +562,15 @@ class Engine:
             self.report.write(path)
         return self.report.summary()
 
+    def predict(self, softmax: bool = False) -> np.ndarray:
+        """Per-vertex final-layer outputs, (V, C): raw logits by default,
+        softmax rows if asked."""
+        out = (self.model.predict(self.params, self.batch) if softmax
+               else self.model.forward(self.params, self.batch))
+        return np.asarray(out)
+
     def dump_predictions(self, path: str, softmax: bool = False) -> None:
         """Write per-vertex final-layer outputs, one line per vertex — the
         artifact miscs/compare_output.py diffs between runs (its line-sum
         metric needs raw logits; softmax rows always sum to 1)."""
-        if softmax:
-            out = self.model.predict(self.params, self.batch)
-        else:
-            out = self.model.forward(self.params, self.batch)
-        np.savetxt(path, np.asarray(out), fmt="%.6f")
+        np.savetxt(path, self.predict(softmax=softmax), fmt="%.6f")

@@ -560,10 +560,9 @@ class ShardedEngine:
             self.report.write(path)
         return self.report.summary()
 
-    def dump_predictions(self, path: str, softmax: bool = False) -> None:
-        """Per-vertex final-layer outputs in GLOBAL vertex order — the
-        artifact tools/compare_output.py diffs (same format as
-        Engine.dump_predictions, shard layout reassembled via global_ids)."""
+    def predict(self, softmax: bool = False) -> np.ndarray:
+        """Per-vertex final-layer outputs (V, C) in GLOBAL vertex order
+        (shard layout reassembled via global_ids)."""
         if self._compiled is None:
             self._compiled = build_sharded_train_step(
                 self.model, self.cfg, self.mesh, self.sharded.denom)
@@ -577,4 +576,10 @@ class ShardedEngine:
         if softmax:
             e = np.exp(out - out.max(axis=1, keepdims=True))
             out = e / e.sum(axis=1, keepdims=True)
-        np.savetxt(path, out, fmt="%.6f")
+        return out
+
+    def dump_predictions(self, path: str, softmax: bool = False) -> None:
+        """Per-vertex final-layer outputs in GLOBAL vertex order — the
+        artifact tools/compare_output.py diffs (same format as
+        Engine.dump_predictions)."""
+        np.savetxt(path, self.predict(softmax=softmax), fmt="%.6f")

@@ -55,7 +55,7 @@ def test_gcn_karate_faction_recovery():
     eng = Engine(g, LayerConfig([34, 8, 2]), TrainConfig(
         epochs=120, eval_every=0))
     rep = eng.run()
-    preds = np.asarray(eng.model.predict(eng.params, eng.batch)).argmax(axis=1)
+    preds = eng.predict(softmax=True).argmax(axis=1)
     _, _, test_mask = g.masks()
     test_acc = float((preds[test_mask] == g.labels[test_mask]).mean())
     assert test_mask.sum() == 9
