@@ -30,7 +30,13 @@ Two wire formats, platform-gated (TrainConfig.halo):
     exchange + a sorted segment_sum (no scatter). Constructed and
     numpy-emulation-tested on CPU (tests/test_ragged_halo.py); execution
     requires a real multi-chip TPU mesh, which this dev box does not
-    have — flip TrainConfig.halo="padded" if a pod profile disagrees.
+    have. FIRST-USE CANARY (ragged_canary, round 5): before the big
+    program compiles on any mesh, a tiny ragged_all_to_all of the same
+    dtype/rank runs and its result is checked numerically; on ANY
+    failure (lowering, layout, wrong rows) the engine logs and falls
+    back to the padded format — a pod user never hits a surprise as a
+    hard crash of the big program (tests/test_ragged_halo.py fallback
+    tests fake the canary both ways).
 """
 
 from __future__ import annotations
@@ -145,6 +151,60 @@ _halo_recv_planned.defvjp(_planned_fwd, _planned_bwd)
 # ---------------------------------------------------------------------------
 # Exact (ragged) halo: the reference's per-destination exact scatter.
 # ---------------------------------------------------------------------------
+
+
+def ragged_canary(mesh, dtype=jnp.float32) -> bool:
+    """First-use canary for lax.ragged_all_to_all on this mesh.
+
+    Runs a tiny exchange of the production shape class (rank-2 operand,
+    same dtype, every (owner, receiver) pair shipping one exact row into
+    a strided output layout — the ragged_halo_recv pattern) and checks
+    the received rows NUMERICALLY. Returns False on any exception or
+    wrong result, so the engine can fall back to the padded wire format
+    before the big program ever compiles (the reference's equivalent
+    path, gcn_ops.cpp:204-260, is its hottest collective — a lowering
+    or layout surprise must not be a hard crash of a pod run)."""
+    import functools as _ft
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    n = mesh.shape[GRAPH_AXIS]
+    try:
+        @_ft.partial(shard_map, mesh=mesh, in_specs=P(GRAPH_AXIS),
+                     out_specs=P(GRAPH_AXIS), check_vma=False)
+        def tiny(x):
+            x = x[0]  # (n, 2) — row p is what I send to peer p
+            me = jax.lax.axis_index(GRAPH_AXIS)
+            out = jnp.zeros((2 * n, x.shape[1]), x.dtype)
+            ones = jnp.ones((n,), jnp.int32)
+            r = jax.lax.ragged_all_to_all(
+                x, out,
+                jnp.arange(n, dtype=jnp.int32),      # in_off
+                ones,                                 # send_sz
+                jnp.full((n,), 2 * me, jnp.int32),    # out_off (strided)
+                ones,                                 # recv_sz
+                axis_name=GRAPH_AXIS)
+            return r[None]
+
+        # x[p, q, 0] = p + q/8: shard p sends row (p, q) to peer q.
+        base = np.arange(n, dtype=np.float32)
+        x = np.zeros((n, n, 2), np.float32)
+        x[..., 0] = base[:, None] + base[None, :] / 8.0
+        x[..., 1] = 1.0
+        xd = jax.device_put(x.astype(dtype),
+                            NamedSharding(mesh, P(GRAPH_AXIS)))
+        got = np.asarray(tiny(xd)).astype(np.float32)  # (n, 2n, 2)
+        want = np.zeros((n, 2 * n, 2), np.float32)
+        for p in range(n):      # receiver
+            for q in range(n):  # owner
+                want[p, 2 * q, 0] = q + p / 8.0
+                want[p, 2 * q, 1] = 1.0
+        return bool(np.allclose(got, want, atol=1e-2))
+    except Exception as e:  # noqa: BLE001 — ANY failure means fall back
+        from dorylus_tpu.common.logging import log
+        log("ragged halo canary failed (%s: %s)", type(e).__name__, e)
+        return False
 
 def build_ragged_plan(sharded) -> dict:
     """Host-side plan for the exact-row halo exchange, stacked on a

@@ -312,10 +312,27 @@ class ShardedEngine:
                 and all(d.platform == "tpu"
                         for d in self.mesh.devices.flat)))
         if use_ragged:
+            # First-use canary (parallel/halo.py ragged_canary): a tiny
+            # ragged_all_to_all of the production dtype/rank runs and is
+            # checked numerically BEFORE the big program compiles; any
+            # lowering/layout surprise falls back to the padded format
+            # (whose plan arrays always ship) instead of crashing the run.
+            from dorylus_tpu.parallel.halo import ragged_canary
+            import jax.numpy as jnp2
+            cdt = (jnp2.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else jnp2.float32)
+            if not ragged_canary(self.mesh, cdt):
+                use_ragged = False
+                log("halo: ragged canary failed on this mesh — falling "
+                    "back to the padded wire format%s",
+                    "" if cfg.halo == "auto"
+                    else " (halo='ragged' was requested explicitly)")
+        if use_ragged:
             from dorylus_tpu.parallel.halo import build_ragged_plan
             stacked["ragged"] = build_ragged_plan(self.sharded)
             log("halo: exact (ragged) wire format — per-pair exact row "
-                "counts on the wire (padded ghost layout unchanged)")
+                "counts on the wire (padded ghost layout unchanged; "
+                "canary passed)")
         if cfg.kernel in ("degree", "hyb"):
             # Per-shard slot plans padded to uniform shapes (degree:
             # block-row counts; hyb: shared-DP bucket structure).
