@@ -298,12 +298,16 @@ class Engine:
         if cfg.kernel == "hyb":
             # Capacity model: fit the msgs chunk guard to the HBM left
             # after the PADDED static footprint (plans + features +
-            # labels) and the per-layer table/out/grad transients.
+            # labels) and the per-layer table/out/grad transients. The
+            # guard is ENGINE-scoped: it rides this op's static tuple
+            # (set_msgs_budget), so other engines/ops in the process keep
+            # their own.
             from dorylus_tpu.ops.hyb_spmm import fit_msgs_budget, padded_nbytes
             width = _max_agg_width(layers, cfg, graph.num_vertices)
             w128 = -(-width // 128) * 128
             transients = graph.num_vertices * w128 * 12  # bf16 tbl + f32 out/gout
-            fit_msgs_budget(padded_nbytes(self.batch), transients, log)
+            spmm_op.set_msgs_budget(
+                fit_msgs_budget(padded_nbytes(self.batch), transients, log))
         self.params = self.model.init_params(seed=cfg.seed)
         self.opt_state = adam_init(self.params) if cfg.adam else None
         self.report = RunReport()

@@ -261,7 +261,11 @@ class ShardedHybSpMM:
                     p["top"].pop("s2e", None)
         self.static = (table, vp,
                        None if gather_dtype is None
-                       else np.dtype(gather_dtype), ep, None, None)
+                       else np.dtype(gather_dtype), ep, None, None, 0)
+
+    def set_msgs_budget(self, budget: int) -> None:
+        """Engine-scoped msgs scan-chunk guard (fit_msgs_budget)."""
+        self.static = self.static[:6] + (int(budget),)
 
     def apply(self, arrays: dict, h, val):
         if not self.dynamic:

@@ -218,7 +218,11 @@ class ShardedReuseSpMM:
             self.arrays["f_out"] = jnp.asarray(f_local)
         self.static = (table, vp,
                        None if gather_dtype is None
-                       else jnp.dtype(gather_dtype), None, None)
+                       else jnp.dtype(gather_dtype), None, None, 0)
+
+    def set_msgs_budget(self, budget: int) -> None:
+        """Engine-scoped msgs scan-chunk guard (fit_msgs_budget)."""
+        self.static = self.static[:5] + (int(budget),)
 
     @property
     def num_pairs(self) -> int:

@@ -41,13 +41,16 @@ def _build_table(h, levels):
     return tbl
 
 
-# static = (num_in, num_out, gather_dtype, n_iso_fwd, n_iso_bwd)
+# static = (num_in, num_out, gather_dtype, n_iso_fwd, n_iso_bwd
+#           [, msgs_budget]) — budget = the engine-scoped scan-chunk
+# guard (absent/0 = the hyb_spmm module default).
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def reuse_unit_pass(static, arrs, h):
     """out[v] = sum_{u in N(v)} h[u] over the rewritten fwd plan."""
-    _, num_out, gdt, ni, _ = static
+    _, num_out, gdt, ni = static[:4]
+    bud = static[5] if len(static) > 5 else 0
     return _hyb_pass(_build_table(h, arrs["lvl_fwd"]), arrs["fwd"],
-                     num_out, "mask", None, gdt, n_iso=ni)
+                     num_out, "mask", None, gdt, n_iso=ni, budget=bud)
 
 
 def _fwd(static, arrs, h):
@@ -56,11 +59,14 @@ def _fwd(static, arrs, h):
 
 def _bwd(static, res, gout):
     (arrs,) = res
-    num_in, _, gdt, _, nib = static
+    num_in, _, gdt = static[:3]
+    nib = static[4]
+    bud = static[5] if len(static) > 5 else 0
     # Exactness of the rewrite => the Jacobian is the ORIGINAL transposed
     # operator, served by the transposed graph's own rewrite.
     dh = _hyb_pass(_build_table(gout.astype(jnp.float32), arrs["lvl_bwd"]),
-                   arrs["bwd"], num_in, "mask", None, gdt, n_iso=nib)
+                   arrs["bwd"], num_in, "mask", None, gdt, n_iso=nib,
+                   budget=bud)
     d_arrs = jax.tree.map(
         lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
         else None, arrs)
@@ -118,13 +124,17 @@ class ReuseSpMM:
                 np.asarray(rank1_factor, np.float32))
         self.static = (num_in, num_out,
                        None if gather_dtype is None
-                       else jnp.dtype(gather_dtype)) + tuple(n_iso)
+                       else jnp.dtype(gather_dtype)) + tuple(n_iso) + (0,)
 
     @property
     def gather_itemsize(self) -> int:
         """Bytes per element of the gather table (4 = f32, 2 = bf16)."""
         gdt = self.static[2]
         return 4 if gdt is None else jnp.dtype(gdt).itemsize
+
+    def set_msgs_budget(self, budget: int) -> None:
+        """Engine-scoped msgs scan-chunk guard (fit_msgs_budget)."""
+        self.static = self.static[:5] + (int(budget),)
 
     def apply_static(self, arrays, h):
         """GCN factorized norms: diag(f) · A_unit · diag(f) · h."""

@@ -424,8 +424,12 @@ class ShardedEngine:
             width = _max_agg_width(layers, cfg, self.sharded.vp)
             w128 = -(-width // 128) * 128
             table_rows = self.sharded.vp + n * self.sharded.max_h
-            fit_msgs_budget(padded_nbytes(stacked) // n,
-                            table_rows * w128 * 12, log)
+            guard = fit_msgs_budget(padded_nbytes(stacked) // n,
+                                    table_rows * w128 * 12, log)
+            # Engine-scoped: the guard rides each op's static tuple.
+            for op in ((spmm_op,) if spmm_op is not None else ()) + (
+                    spmm_split or ()):
+                op.set_msgs_budget(guard)
         self.params = jax.device_put(
             self.model.init_params(seed=cfg.seed),
             NamedSharding(self.mesh, P()))

@@ -12,10 +12,12 @@ import os
 import subprocess
 import sys
 from pathlib import Path
+import pytest
 
 TOOL = Path(__file__).parent.parent / "tools" / "validate_32way.py"
 
 
+@pytest.mark.slow
 def test_32way_loss_parity():
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=32"

@@ -48,6 +48,7 @@ def _tree_close(a, b, rtol):
                                    rtol=rtol, atol=0.1, err_msg=ka)
 
 
+@pytest.mark.slow
 def test_gcn_agg_first_matches_transform_first(graph, monkeypatch):
     layers = LayerConfig([16, 32, 8])
     op = _op(graph, "gcn")

@@ -37,6 +37,7 @@ def test_sharded_degree_gat():
         np.testing.assert_allclose(a.loss, b.loss, rtol=2e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_degree_gat_50k():
     """GAT + degree kernel sharded at a realistic vertex count (round-1
     gap: the Reddit-config GAT compile blowup was only caught at full

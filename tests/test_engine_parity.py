@@ -90,6 +90,7 @@ def test_engine_resume_continues_epoch_numbering(tmp_path):
     assert latest_checkpoint(ckdir).name == "ckpt_00000008.npz"
 
 
+@pytest.mark.slow
 def test_sharded_resume_continues_exactly(tmp_path):
     g = synthetic_graph(240, 6, 16, 4, seed=65)
     layers = LayerConfig([16, 8, 4])

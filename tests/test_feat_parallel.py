@@ -80,6 +80,7 @@ def test_tp_gat_indivisible_output_width():
 
 
 @pytest.mark.parametrize("model_name,lr", [("gcn", 0.01), ("gat", 0.005)])
+@pytest.mark.slow
 def test_tp_gradients_exact(model_name, lr):
     """DIRECT gradient parity (not just loss trajectories): Adam is
     invariant to per-parameter constant scalings, so trajectory tests

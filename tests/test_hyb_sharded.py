@@ -60,6 +60,7 @@ def test_sharded_hyb_hub_top_bucket():
         assert abs(e1.loss - e2.loss) <= 1e-3 * max(1.0, abs(e1.loss))
 
 
+@pytest.mark.slow
 def test_sharded_hyb_overlap_equals_combined():
     """Interior/boundary split plans == combined plan (the halo-overlap
     path must not change the math)."""

@@ -66,6 +66,7 @@ def test_sharded_hyb_apply_matches_dense(n_shards):
         np.testing.assert_allclose(got2, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_hyb_dval_gradient_matches_dense():
     """The val cotangent reads e2s (the rebuilt padded-offset map): for
     loss = sum(out * c), d loss/d val[e] = c[dst e] . table[src e]."""

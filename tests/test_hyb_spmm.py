@@ -62,6 +62,7 @@ def test_hub_spill_rows():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_match_edgewise():
     src, dst, val, h = _random_graph(57, 41, 400, 9, seed=7)
     op = HybSpMM(src, dst, 57, 41, max_width=16, lam_slots=8)
@@ -81,6 +82,7 @@ def test_gradients_match_edgewise():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_static_vals_match_dynamic():
     src, dst, val, h = _random_graph(57, 41, 400, 9, seed=9)
     dyn = HybSpMM(src, dst, 57, 41, lam_slots=8)
@@ -132,6 +134,7 @@ def test_apply_dst_matches_per_edge_values():
     np.testing.assert_allclose(np.asarray(gdv), want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_halo_table_larger_than_num_in_rows():
     src, dst, val, h = _random_graph(57, 41, 400, 9, seed=11)
     h_big = np.vstack([h, np.zeros((5, 9), np.float32)])
@@ -161,6 +164,7 @@ def test_isolated_vertices_and_zero_edges():
     assert np.all(np.asarray(empty(jnp.eye(4), jnp.zeros(0))) == 0)
 
 
+@pytest.mark.slow
 def test_msgs_scan_chunk_matches_unchunked(monkeypatch):
     import dorylus_tpu.ops.hyb_spmm as hyb
 
@@ -182,6 +186,7 @@ def test_msgs_scan_chunk_matches_unchunked(monkeypatch):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_gather_mode_close_to_f32():
     src, dst, val, h = _random_graph(200, 150, 2000, 32, seed=15)
     f32 = HybSpMM(src, dst, 200, 150, lam_slots=64)
@@ -233,6 +238,7 @@ def test_hyb_engine_gat():
         np.testing.assert_allclose(ex.loss, eh.loss, rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_degree_sorted_identity_path():
     """Ascending-degree renumbering makes the plan's output permutation
     the identity ("_n_iso" static); results must match the gather path
@@ -350,5 +356,28 @@ def test_padded_nbytes_and_budget_cpu_noop():
             + 16 * 256 * 4)                # wide: 16%8==0, 256%128==0
     assert got == want, (got, want)
     before = hyb_spmm._MSGS_CHUNK_BYTES
-    assert fit_msgs_budget(50 << 30) == before  # CPU: unchanged
-    assert hyb_spmm._MSGS_CHUNK_BYTES == before
+    assert fit_msgs_budget(50 << 30) == before  # CPU: the default
+    assert hyb_spmm._MSGS_CHUNK_BYTES == before  # pure: never mutated
+
+
+def test_msgs_budget_is_engine_scoped():
+    """set_msgs_budget rides the op's static tuple: a tiny budget on op A
+    forces scan-chunking (same result) while op B in the same process
+    keeps the default — no module-global sharing (round-4 Weak #6)."""
+    src, dst, val, h = _random_graph(57, 41, 400, 9, seed=13)
+    a = HybSpMM(src, dst, 57, 41, lam_slots=8)
+    b = HybSpMM(src, dst, 57, 41, lam_slots=8)
+    ref = np.asarray(b(jnp.asarray(h), jnp.asarray(val)))
+    a.set_msgs_budget(64 * 1024)
+    assert a.static[6] == 64 * 1024 and b.static[6] == 0
+    out = np.asarray(a(jnp.asarray(h), jnp.asarray(val)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def loss(op):
+        return lambda hh, vv: (op.apply(op.arrays, hh, vv) ** 2).sum()
+
+    ga = jax.grad(loss(a), argnums=(0, 1))(jnp.asarray(h), jnp.asarray(val))
+    gb = jax.grad(loss(b), argnums=(0, 1))(jnp.asarray(h), jnp.asarray(val))
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)

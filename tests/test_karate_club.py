@@ -31,6 +31,7 @@ import numpy as np
 from dorylus_tpu.common.config import LayerConfig, TrainConfig
 from dorylus_tpu.engine.engine import Engine
 from dorylus_tpu.graph.graph import Graph
+import pytest
 
 
 def _karate_graph() -> Graph:
@@ -50,6 +51,7 @@ def _karate_graph() -> Graph:
     return g.finalize()
 
 
+@pytest.mark.slow
 def test_gcn_karate_faction_recovery():
     g = _karate_graph()
     eng = Engine(g, LayerConfig([34, 8, 2]), TrainConfig(

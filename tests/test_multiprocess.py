@@ -48,6 +48,7 @@ def _run_procs(nprocs: int, dpp: int, kernel: str) -> list:
 
 
 @pytest.mark.parametrize("kernel", ["auto", "hyb"])
+@pytest.mark.slow
 def test_two_process_sharded_step(kernel):
     outs = _run_procs(2, 2, kernel)
     # Replicated loss must agree bit-for-bit across processes (it is the
@@ -56,6 +57,7 @@ def test_two_process_sharded_step(kernel):
     assert len(outs[0]["losses"]) == 3
 
 
+@pytest.mark.slow
 def test_four_process_sharded_step_matches_single_process():
     """4 processes × 1 device (round-3 verdict Weak #6): the halo
     all_to_all block permutation crosses THREE process boundaries — every

@@ -12,8 +12,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from compare_output import compare  # noqa: E402
+import pytest
 
 
+@pytest.mark.slow
 def test_dump_and_compare(tmp_path):
     g = synthetic_graph(150, 5, 8, 3, seed=71)
     layers = LayerConfig([8, 6, 3])

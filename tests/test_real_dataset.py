@@ -85,6 +85,7 @@ def test_gcn_beats_graph_blind_baseline(digits_graph):
     assert rep.final_accuracy > blind_val, (rep.final_accuracy, blind_val)
 
 
+@pytest.mark.slow
 def test_sharded_real_data_matches_single(digits_graph):
     """The sharded engine reproduces the single-device trajectory on the
     real graph (not just on synthetics)."""

@@ -81,6 +81,7 @@ def test_sharded_gat_matches_single_device():
 
 @pytest.mark.parametrize("kernel,model", [("xla", "gcn"), ("degree", "gcn"),
                                           ("degree", "gat")])
+@pytest.mark.slow
 def test_overlap_equals_combined_path(kernel, model):
     """Interior/boundary-split aggregation (overlap=True) must match the
     combined-table path — for the XLA edgewise kernel AND the degree

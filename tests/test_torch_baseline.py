@@ -71,6 +71,7 @@ def digits_graph():
     return load_dataset(DATA, undirected=True)
 
 
+@pytest.mark.slow
 def test_torch_gcn_same_accuracy_band(digits_graph):
     g = digits_graph
     torch_acc = torch_gcn_train(g)
@@ -133,6 +134,7 @@ def torch_gat_train(g, hidden=16, epochs=100, lr=0.01):
         return float((out[va].argmax(1) == labels[va]).float().mean())
 
 
+@pytest.mark.slow
 def test_torch_gat_same_accuracy_band(digits_graph):
     """The GAT twin (round-3 verdict #6): the non-textbook attention
     semantics pinned on real data against an independent framework.
