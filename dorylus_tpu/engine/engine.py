@@ -78,6 +78,43 @@ def _max_agg_width(layers: LayerConfig, cfg: TrainConfig,
 # uniform-random graphs mine ~0%).
 REUSE_AUTO_MIN_CUT = 0.10
 
+# Payoff model for reuse="auto" (round 5): mining is only worth starting
+# when even a best-case rewrite could repay its cost over the configured
+# horizon. Calibrated on v5e from committed artifacts:
+#   * saving/epoch ≈ row_cut × V × SAVE_S_PER_ROW — two independent
+#     points agree: Reddit config 26.6 ms at cut 0.38 × V 233k (0.30
+#     µs/row, reuse_budget_r4.json) and V=1.6M 143 ms at cut 0.33 (0.27
+#     µs/row, reuse_epoch_r4.json / BENCH_r04.json).
+#   * GAT realizes ~12% of GCN's per-row saving at the same cut (1.02x
+#     vs 1.20x epoch win at Reddit scale, BENCH_r04.json) — its
+#     aggregation is a smaller fraction of the step.
+#   * mine cost ≈ E × MINE_S_PER_EDGE, calibrated at the SLOW end
+#     (Reddit 11.6M edges -> 10.9 s total incl. both plans; the 100M
+#     point mined 5x faster per edge, mine_100m_r4.json).
+REUSE_SAVE_S_PER_ROW = 2.8e-7
+REUSE_MODEL_EFF = {"gcn": 1.0, "gat": 0.12}
+REUSE_CUT_CAP = 0.45  # best mined cut ever observed is 0.38 + margin
+REUSE_MINE_S_PER_EDGE = 9.4e-7
+
+
+def reuse_payoff(cfg: TrainConfig, num_vertices: int,
+                 num_edges: int) -> tuple[bool, float, float]:
+    """Pre-mine gate for reuse='auto': (worth_mining, ceiling_s, mine_s).
+
+    ceiling_s = best-case total saving over cfg.epochs (cut capped at
+    REUSE_CUT_CAP, model-efficiency-scaled); mine_s = predicted mining
+    cost. Skip mining when the ceiling cannot repay the mine — the
+    round-4 verdict's GAT-at-Reddit case (1.02x win, ~11 s mine) and any
+    short-horizon run. reuse='pairs' bypasses this gate (explicit
+    opt-in). The run horizon is cfg.epochs (engine.run(n) overrides per
+    call, but auto decisions are made at init against the declared
+    plan)."""
+    eff = REUSE_MODEL_EFF.get(cfg.model, 1.0)
+    ceiling = (REUSE_CUT_CAP * num_vertices * REUSE_SAVE_S_PER_ROW
+               * eff * max(1, cfg.epochs))
+    mine = num_edges * REUSE_MINE_S_PER_EDGE
+    return ceiling >= mine, ceiling, mine
+
 
 def resolve_reuse_budget(cfg: TrainConfig, base_rows: int,
                          width: int) -> tuple[int, bool]:
@@ -210,6 +247,21 @@ class Engine:
                             else None)
             reuse_on = (cfg.reuse in ("pairs", "auto")
                         and cfg.kernel == "hyb")
+            if reuse_on and cfg.reuse == "auto":
+                # Payoff gate BEFORE mining (model- and horizon-aware):
+                # skip when even a best-case cut cannot repay the mine.
+                worth, ceiling, mine = reuse_payoff(
+                    cfg, graph.num_vertices, graph.num_edges)
+                if not worth:
+                    log("reuse auto: predicted saving ceiling %.2fs "
+                        "(cut<=%.2f x %d rows x %.1e s/row x eff %.2f x "
+                        "%d epochs) < mine cost %.2fs (%d edges x %.1e "
+                        "s/edge) — skipping mining; --reuse pairs forces",
+                        ceiling, REUSE_CUT_CAP, graph.num_vertices,
+                        REUSE_SAVE_S_PER_ROW,
+                        REUSE_MODEL_EFF.get(cfg.model, 1.0), cfg.epochs,
+                        mine, graph.num_edges, REUSE_MINE_S_PER_EDGE)
+                    reuse_on = False
             if reuse_on:
                 width = _max_agg_width(layers, cfg, graph.num_vertices)
                 cap, reuse_on = resolve_reuse_budget(

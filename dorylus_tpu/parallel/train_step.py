@@ -293,6 +293,19 @@ class ShardedEngine:
         reuse_cap = 0
         if cfg.reuse == "pairs" and not reuse_on:
             log("pair reuse requires kernel=hyb (have %s) — off", cfg.kernel)
+        if reuse_on and cfg.reuse == "auto":
+            # Payoff gate BEFORE mining (engine.reuse_payoff): model- and
+            # horizon-aware; totals across shards (mining is per shard
+            # but sums to the same edge count).
+            from dorylus_tpu.engine.engine import reuse_payoff
+            worth, ceiling, mine = reuse_payoff(
+                cfg, graph.num_vertices, graph.num_edges)
+            if not worth:
+                log("reuse auto: predicted saving ceiling %.2fs < mine "
+                    "cost %.2fs over %d epochs (model %s) — skipping "
+                    "mining; --reuse pairs forces",
+                    ceiling, mine, cfg.epochs, cfg.model)
+                reuse_on = False
         if reuse_on:
             # Budget against the per-shard GATHER table (local + ghost
             # rows) — that is the array the regime cliff is about. Under

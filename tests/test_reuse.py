@@ -276,12 +276,15 @@ def test_reuse_auto_engages_and_falls_back():
     from dorylus_tpu.ops.reuse_spmm import ReuseSpMM
 
     layers = LayerConfig([24, 12, 5])
-    kw = dict(epochs=4, eval_every=0, kernel="hyb")
+    # epochs=200 declared horizon clears the round-5 payoff gate
+    # (mining must predict repayment before it runs); only 4 epochs
+    # actually execute via run(4).
+    kw = dict(epochs=200, eval_every=0, kernel="hyb")
     g = _overlap_graph_obj()
     eng = Engine(g, layers, TrainConfig(reuse="auto", **kw))
     assert isinstance(eng.model.spmm_op, ReuseSpMM)
-    r_auto = eng.run()
-    r_off = Engine(g, layers, TrainConfig(reuse="off", **kw)).run()
+    r_auto = eng.run(4)
+    r_off = Engine(g, layers, TrainConfig(reuse="off", **kw)).run(4)
     np.testing.assert_allclose(
         [e.loss for e in r_auto.epochs], [e.loss for e in r_off.epochs],
         rtol=2e-3, atol=2e-3)
@@ -289,3 +292,56 @@ def test_reuse_auto_engages_and_falls_back():
     rnd = synthetic_graph(400, 6, 24, 5, seed=11)
     eng2 = Engine(rnd, layers, TrainConfig(reuse="auto", **kw))
     assert isinstance(eng2.model.spmm_op, HybSpMM)  # unprofitable -> plain
+
+
+def test_reuse_auto_payoff_gate_both_directions(monkeypatch):
+    """The round-5 pre-mine payoff gate (engine.reuse_payoff): a short
+    horizon (or GAT's low realized efficiency) must skip mining
+    ENTIRELY — asserted by making mine_reuse explode — while a long
+    horizon on the same graph mines and engages."""
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine import engine as eng_mod
+    from dorylus_tpu.engine.engine import Engine, reuse_payoff
+    from dorylus_tpu.ops.hyb_spmm import HybSpMM
+    from dorylus_tpu.ops.reuse_spmm import ReuseSpMM
+
+    g = _overlap_graph_obj()
+    layers = LayerConfig([24, 12, 5])
+
+    # Direction 1: short horizon -> mining never runs (patch the name
+    # ReuseSpMM actually calls).
+    import dorylus_tpu.ops.reuse_spmm as rs_mod
+
+    def boom(*a, **k):
+        raise AssertionError("payoff gate must skip mining")
+
+    monkeypatch.setattr(rs_mod, "mine_reuse", boom)
+    eng = Engine(g, layers, TrainConfig(reuse="auto", kernel="hyb",
+                                        epochs=2, eval_every=0))
+    assert isinstance(eng.model.spmm_op, HybSpMM)
+    # GAT needs a ~8x longer horizon than GCN for the same graph
+    # (REUSE_MODEL_EFF): an horizon that passes for GCN skips for GAT.
+    worth_gcn, *_ = reuse_payoff(
+        TrainConfig(model="gcn", epochs=150), g.num_vertices, g.num_edges)
+    worth_gat, *_ = reuse_payoff(
+        TrainConfig(model="gat", epochs=150), g.num_vertices, g.num_edges)
+    assert worth_gcn and not worth_gat
+    eng_gat = Engine(g, layers, TrainConfig(reuse="auto", kernel="hyb",
+                                            model="gat",
+                                            learning_rate=0.005,
+                                            epochs=150, eval_every=0))
+    assert isinstance(eng_gat.model.spmm_op, HybSpMM)
+    monkeypatch.undo()
+
+    # Direction 2: long horizon -> mines and keeps the rewrite.
+    eng2 = Engine(g, layers, TrainConfig(reuse="auto", kernel="hyb",
+                                         epochs=100000, eval_every=0))
+    assert isinstance(eng2.model.spmm_op, ReuseSpMM)
+
+    # Arithmetic sanity: the gate's threshold is where ceiling == mine.
+    worth, ceiling, mine = reuse_payoff(
+        TrainConfig(model="gcn", epochs=1), 10**6, 10**6)
+    assert (ceiling >= mine) == worth
+    assert ceiling == eng_mod.REUSE_CUT_CAP * 10**6 \
+        * eng_mod.REUSE_SAVE_S_PER_ROW
+    assert mine == 10**6 * eng_mod.REUSE_MINE_S_PER_EDGE
