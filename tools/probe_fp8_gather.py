@@ -86,15 +86,19 @@ def main():
         bytes_per_row = F * table.dtype.itemsize
 
         def fwd(c, table, idx):
-            # keep the chain narrow end-to-end; f32 appears only as the
-            # accumulation dtype of the final sum (the anti-hoist idiom)
+            # Perturb the INDEX with the carry before the gather (advisor
+            # r4: a post-gather carry use leaves the gather loop-invariant
+            # and at LICM's mercy; an input perturbation structurally
+            # forces re-execution every iteration — bench.py's idiom).
+            # One dynamic index per iteration: the 46 MB idx copy costs
+            # ~0.06 ms against a ~36 ms gather.
+            idx = idx.at[0].set(jnp.int32(c) % V)
             msgs = table[idx]  # (R, F) narrow
             out = jnp.sum(
                 msgs.reshape(R // BLOCK, BLOCK, F), axis=1,
                 dtype=jnp.float32,
             )
-            # data-dependent use of the carry so nothing folds away
-            return out * (1 + c * 1e-20)
+            return out
 
         try:
             dt_s, loop = time_loop(fwd, (table, idx), iters)
@@ -102,21 +106,35 @@ def main():
             print(f"{name:10s}: FAILED ({type(e).__name__}: {e})", flush=True)
             results[name] = {"error": str(e)[:200]}
             continue
+        # HLO check (advisor r4, the convert-hoist trap): the compiled
+        # gather's OPERAND must still be the narrow dtype — if XLA hoisted
+        # a convert above the gather, the timing is a wide-gather lie.
+        hlo_token = {"f32": "f32", "bf16": "bf16", "fp8_e4m3": "f8e4m3",
+                     "fp8_e5m2": "f8e5m2", "int8": "s8"}[name]
+        txt = loop.lower(table, idx).compile().as_text()
+        glines = [ln for ln in txt.splitlines() if "gather(" in ln]
+        narrow_ok = any(hlo_token in ln for ln in glines)
+        if not narrow_ok:
+            print(f"{name:10s}: HLO CHECK FAILED — no gather with "
+                  f"{hlo_token} operand; timing below is NOT a "
+                  f"narrow-gather number", flush=True)
         gbs = R * bytes_per_row / dt_s / 1e9
         rows_s = R / dt_s / 1e6
         print(
             f"{name:10s}: {dt_s*1e3:8.2f} ms  {gbs:6.1f} GB/s  "
-            f"{rows_s:7.1f} M rows/s",
+            f"{rows_s:7.1f} M rows/s  hlo_narrow={narrow_ok}",
             flush=True,
         )
         results[name] = {
             "ms": dt_s * 1e3, "gb_s": gbs, "m_rows_s": rows_s,
             "bytes_per_row": bytes_per_row,
+            "hlo_gather_operand_is_narrow": bool(narrow_ok),
+            "hlo_gather_line": (glines[0].strip()[:200] if glines else ""),
         }
 
     out = Path(__file__).resolve().parent.parent / "benchmarks" / "results"
     out.mkdir(parents=True, exist_ok=True)
-    (out / "fp8_gather_probe_r4.json").write_text(
+    (out / "fp8_gather_probe_r5.json").write_text(
         json.dumps(
             {
                 "shape": {"rows": R, "V": V, "F": F},
@@ -126,7 +144,7 @@ def main():
             indent=2,
         )
     )
-    print("wrote benchmarks/results/fp8_gather_probe_r4.json", flush=True)
+    print("wrote benchmarks/results/fp8_gather_probe_r5.json", flush=True)
 
 
 if __name__ == "__main__":
