@@ -108,7 +108,14 @@ class TrainConfig:
     # A TPU-native extension absent upstream; every non-output layer
     # width must divide by it. 1 = off.
     feat_shards: int = 1
-    overlap: bool = True  # interior/boundary split: overlap halo with compute
+    # Halo/compute overlap ("auto" | True | False): "auto" (default)
+    # resolves per kernel and platform in ShardedEngine — hyb gets the
+    # FUSED overlap plan (ops/hyb_sharded.py edges="fused": one plan,
+    # pure buckets gather local rows alongside the in-flight collective),
+    # degree keeps the interior/boundary plan pair (1.42x CPU-measured
+    # win), the xla edgewise split engages only on TPU (synchronous CPU
+    # collectives made it 0.93x there). Booleans force on/off.
+    overlap: object = "auto"
     # Halo wire format ("auto" | "padded" | "ragged"): padded ships max_h
     # rows per (shard, peer) pair (the only format XLA:CPU lowers);
     # ragged ships each pair's EXACT count via lax.ragged_all_to_all —

@@ -155,8 +155,12 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
     # Overlap runs ship ONLY the interior/boundary plan pair (the combined
     # plan would double plan HBM for a path the models never take), so the
     # brackets must profile the split dispatch — which is also the kernel
-    # production actually runs there.
-    use_split = isinstance(engine.arrs, dict) and "spmm_int" in engine.arrs
+    # production actually runs there. The hyb FUSED overlap plan (round 5)
+    # ships as "spmm" but still needs the ghost-rows-only halo + split
+    # batch semantics.
+    fused = getattr(getattr(model, "spmm_split", None), "fused", False)
+    use_split = (isinstance(engine.arrs, dict)
+                 and "spmm_int" in engine.arrs) or fused
 
     def _sharded_scalar(fn):
         @partial(shard_map, mesh=mesh, in_specs=(P(), P(GRAPH_AXIS), P()),
@@ -212,6 +216,12 @@ def profile_stages_sharded(engine, iters: int = 5) -> Dict[str, float]:
             # GAT, apply_static for GCN static norms; interior+boundary
             # plan pair on the overlap path).
             ghosts = h[send_idx % h.shape[0]].reshape(-1, h.shape[1])
+            if fused:
+                aux = batch.aux or {}
+                if is_gat:
+                    return spmm_split.apply_dst_fused(aux["spmm"], h,
+                                                      ghosts, h[:, 0])
+                return spmm_split.apply_static_fused(aux["spmm"], h, ghosts)
             if use_split and spmm_split is not None:
                 op_i, op_b = spmm_split
                 aux = batch.aux or {}

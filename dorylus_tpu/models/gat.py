@@ -185,7 +185,15 @@ class GAT:
                 # Overlap path: halo returns ghost z rows only; interior
                 # attention aggregation proceeds alongside the collective.
                 ghosts = halo(z)
-                if self.spmm_split is not None:
+                if getattr(self.spmm_split, "fused", False):
+                    # Fused overlap plan (hyb): one dst-functional pass,
+                    # pure buckets gather z locally alongside the
+                    # in-flight collective (ops/hyb_sharded.py).
+                    aux = batch.aux or {}
+                    agg = self.spmm_split.apply_dst_fused(
+                        aux["spmm"], z, ghosts,
+                        leaky_relu(za)).astype(z.dtype)
+                elif self.spmm_split is not None:
                     # Degree-kernel overlap: two dst-functional passes
                     # (interior over z, boundary over the ghost rows),
                     # both weighted by the local attention vector.

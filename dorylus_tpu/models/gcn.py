@@ -150,6 +150,16 @@ class GCN:
         """Overlap path: interior aggregation has no dependency on the halo
         collective that produced `ghosts`, so XLA schedules them together
         (the reference's compute/scatter overlap, pipeline.cpp)."""
+        if getattr(self.spmm_split, "fused", False):
+            # Fused overlap plan (ops/hyb_sharded.py edges="fused"): ONE
+            # plan, pure buckets gather from h, mixed from (h ‖ ghosts) —
+            # no second inverse permutation or output add.
+            op = self.spmm_split
+            aux = batch.aux or {}
+            assert op.has_static_vals, "GCN fused overlap bakes norms"
+            out = op.apply_static_fused(aux["spmm"], h, ghosts)
+            return (out.astype(h.dtype)
+                    + h * batch.self_val[:, None].astype(h.dtype))
         if self.spmm_split is not None:
             op_i, op_b = self.spmm_split
             aux = batch.aux or {}

@@ -31,13 +31,16 @@ under the vertex-partitioned ghost-table layout of graph.hpp:87-98.
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dorylus_tpu.graph.partition import ShardedGraph
 from dorylus_tpu.ops.hyb_spmm import (_LAMBDA_SLOTS, _choose_widths,
-                                      build_hyb_plan, hyb_spmm_apply,
-                                      hyb_spmm_dst_apply,
+                                      _hyb_pass, build_hyb_plan,
+                                      hyb_spmm_apply, hyb_spmm_dst_apply,
                                       hyb_spmm_static_apply)
 
 
@@ -90,7 +93,8 @@ def _uniform_plans(plans: list[dict], nreals: list[int], num_out: int,
 
     stacked = []
     for p, nreal in zip(plans, nreals):
-        _recount_live_all(p, nreal)
+        if nreal is not None:  # None = caller already recounted (fused
+            _recount_live_all(p, nreal)  # plans mix per-subset nreals)
         sp = {"buckets": [], "top": None}
         # Rebuild e2s: within-bucket layout is unchanged (row-major), so
         # each real slot index shifts by (padded offset - real offset) of
@@ -128,11 +132,15 @@ def _uniform_plans(plans: list[dict], nreals: list[int], num_out: int,
             real_off.append(real_off[-1] + t["rows"].size)
             pad_off.append(pad_off[-1] + top_rows * max_width)
         # e2s remap: find each real slot's bucket by its real offset.
-        e2s = p["e2s"].astype(np.int64)
-        seg = np.searchsorted(np.asarray(real_off[1:]), e2s, side="right")
-        shift = (np.asarray(pad_off[:-1], np.int64)
-                 - np.asarray(real_off[:-1], np.int64))
-        sp["e2s"] = (e2s + shift[seg]).astype(np.int32)
+        # (absent on fused plans — merged subsets have no combined edge
+        # order, and the fused path is dynamic=False by construction)
+        if "e2s" in p:
+            e2s = p["e2s"].astype(np.int64)
+            seg = np.searchsorted(np.asarray(real_off[1:]), e2s,
+                                  side="right")
+            shift = (np.asarray(pad_off[:-1], np.int64)
+                     - np.asarray(real_off[:-1], np.int64))
+            sp["e2s"] = (e2s + shift[seg]).astype(np.int32)
         # inv rebuild against padded offsets; sentinel (all pad vertices,
         # isolated vertices) = total padded rows -> the appended zero row.
         nrow_total = sum(bucket_rows) + (top_hubs if has_top else 0)
@@ -187,6 +195,14 @@ class ShardedHybSpMM:
                  lam_slots: int = _LAMBDA_SLOTS, dynamic: bool = True):
         n = sharded.n_shards
         vp = sharded.vp
+        self.fused = edges == "fused"
+        self.n_pure = 0
+        if self.fused:
+            assert not dynamic, "fused overlap is dynamic=False only " \
+                "(merged subsets have no combined edge order)"
+            self._build_fused(sharded, max_width, gather_dtype,
+                              static_vals, lam_slots)
+            return
         table = {"combined": vp + n * sharded.max_h,
                  "interior": vp,
                  "boundary": n * sharded.max_h}[edges]
@@ -263,6 +279,124 @@ class ShardedHybSpMM:
                        None if gather_dtype is None
                        else np.dtype(gather_dtype), ep, None, None, 0)
 
+    def _build_fused(self, sharded: ShardedGraph, max_width: int,
+                     gather_dtype, static_vals: bool,
+                     lam_slots: int) -> None:
+        """The FUSED overlap plan (round 5, verdict Next #1): ONE forward
+        plan whose per-width buckets come in a PURE group then a MIXED
+        group. A vertex is pure when every in-edge source is local (and
+        it is not a hub); pure-bucket rows gather from the local (vp, F)
+        features directly — no data dependency on the halo collective —
+        while mixed buckets (and the hub top) gather from the
+        concatenated (local ‖ ghost) table. Against the round-4
+        two-plan split (hyb overlap 0.89x, weak_scaling_hyb_r4.json)
+        this keeps ONE inverse permutation, ONE output assembly and no
+        (V, F) + (V, F) add; against the combined serial plan it exposes
+        the pure gathers to XLA's scheduler alongside the in-flight
+        all_to_all (pipeline.cpp:256-286 analog). Backward needs no
+        fusion at all: the transpose plan gathers from the LOCAL gradient
+        rows, so the combined bwd plan serves unchanged and its
+        [0, vp) / [vp, table) output rows split into (dh, dghosts)."""
+        from dorylus_tpu.ops.hyb_spmm import _cast_vals
+
+        n, vp = sharded.n_shards, sharded.vp
+        table = vp + n * sharded.max_h
+
+        deg_all = []
+        per_shard = []
+        for s in sharded.shards:
+            src = np.asarray(s.src)
+            dst = np.asarray(s.dst)
+            val = np.asarray(s.edge_val, np.float32)
+            nreal = s.num_edges
+            deg = np.bincount(dst, minlength=vp)
+            ghost_dst = np.zeros(vp, bool)
+            ghost_dst[dst[src >= vp]] = True
+            # Hubs (deg > max_width) are forced MIXED so the pure group
+            # never owns a chunked top bucket (hubs near the cut would
+            # straddle; few rows lose overlap, the plan stays single).
+            mixed_v = ghost_dst | (deg > max_width)
+            mixed_e = mixed_v[dst]
+            idx_p = np.where(~mixed_e)[0]
+            idx_m = np.where(mixed_e)[0]
+            per_shard.append((src, dst, val, nreal, idx_p, idx_m))
+            for d, m in ((dst[idx_p], vp), (dst[idx_m], vp),
+                         (src, table)):
+                dg = np.bincount(d, minlength=m)
+                dg = dg[(dg > 0) & (dg <= max_width)]
+                deg_all.append(dg)
+        deg_all = np.sort(np.concatenate(deg_all))
+        widths = (_choose_widths(deg_all, lam_slots) if len(deg_all)
+                  else [8])
+
+        fwd_plans, bwd_plans = [], []
+        for src, dst, val, nreal, idx_p, idx_m in per_shard:
+            parts = []
+            for idx in (idx_p, idx_m):
+                ssub, dsub, vsub = src[idx], dst[idx], val[idx]
+                of = np.argsort(dsub, kind="stable")
+                p = build_hyb_plan(
+                    ssub[of], dsub[of], of, vp, max_width, lam_slots,
+                    static_val=vsub if static_vals else None,
+                    widths=widths)
+                p.pop("n_slots")
+                p.pop("_n_iso", None)
+                p.pop("e2s", None)
+                # Subset-scoped liveness BEFORE merging (pad edges sit at
+                # each subset's tail — partition_graph tail-positions
+                # them globally and subsets preserve relative order).
+                _recount_live_all(p, int((idx < nreal).sum()))
+                parts.append(p)
+            p_pure, p_mix = parts
+            assert p_pure["top"] is None, "hubs must be mixed"
+            fwd_plans.append({
+                "buckets": tuple(p_pure["buckets"]) + tuple(p_mix["buckets"]),
+                "top": p_mix["top"],
+            })
+            ob = np.argsort(src, kind="stable")
+            pb = build_hyb_plan(
+                dst[ob], src[ob], ob, table, max_width, lam_slots,
+                static_val=val if static_vals else None, widths=widths)
+            pb.pop("n_slots")
+            pb.pop("_n_iso", None)
+            pb.pop("e2s", None)
+            _recount_live_all(pb, nreal)
+            bwd_plans.append(pb)
+
+        ep = len(per_shard[0][0])
+        nones = [None] * n  # pre-recounted above
+        self.has_static_vals = static_vals
+        self.dynamic = False
+        self.n_pure = len(widths)
+        self.arrays = {
+            "fwd": _uniform_plans(fwd_plans, nones, vp, ep, max_width),
+            "bwd": _uniform_plans(bwd_plans, nones, table, ep, max_width),
+        }
+        if gather_dtype is not None and np.dtype(gather_dtype).itemsize < 4:
+            for p in self.arrays.values():
+                _cast_vals(p, np.dtype(gather_dtype))
+        for p in self.arrays.values():
+            for b in p["buckets"]:
+                b.pop("s2e", None)
+            if p["top"] is not None:
+                p["top"].pop("s2e", None)
+        self.static = (table, vp,
+                       None if gather_dtype is None
+                       else np.dtype(gather_dtype), ep, None, None, 0)
+
+    @property
+    def _static_f(self):
+        return self.static + (self.n_pure,)
+
+    def apply_static_fused(self, arrays: dict, h, ghosts):
+        return fused_static_apply(self._static_f, arrays, h, ghosts)
+
+    def apply_dst_fused(self, arrays: dict, h, ghosts, dst_val):
+        return fused_dst_apply(self._static_f, arrays, h, ghosts, dst_val)
+
+    def apply_unit_fused(self, arrays: dict, h, ghosts):
+        return fused_unit_apply(self._static_f, arrays, h, ghosts)
+
     def set_msgs_budget(self, budget: int) -> None:
         """Engine-scoped msgs scan-chunk guard (fit_msgs_budget)."""
         self.static = self.static[:6] + (int(budget),)
@@ -279,3 +413,97 @@ class ShardedHybSpMM:
 
     def apply_static(self, arrays: dict, h):
         return hyb_spmm_static_apply(self.static, arrays, h)
+
+
+# ---------------------------------------------------------------------------
+# Fused-overlap custom VJPs (edges="fused"): forward takes (h, ghosts)
+# SEPARATELY so the pure buckets' gathers read h with no data dependency
+# on the halo collective; backward is ONE pass over the combined
+# transpose plan (its gather source is the LOCAL gradient — never the
+# collective), whose [0, vp) / [vp, table) output rows are exactly
+# (dh, dghosts). static_f = (table, vp, gather_dtype, ep, None, None,
+# msgs_budget, n_pure).
+# ---------------------------------------------------------------------------
+
+
+def _zeros_d_arrs(arrs):
+    return jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else None, arrs)
+
+
+def _fused_fwd_pass(static_f, arrs, h, ghosts, mode):
+    _, vp, gdt, _, _, _, bud, n_pure = static_f
+    tb = jnp.concatenate([h, ghosts], axis=0)
+    return _hyb_pass(tb, arrs["fwd"], vp, mode, None, gdt,
+                     budget=bud, h_local=h, n_pure=n_pure)
+
+
+def _fused_bwd_pass(static_f, arrs, gout, mode):
+    table, vp, gdt, _, _, _, bud, _ = static_f
+    dfull = _hyb_pass(gout, arrs["bwd"], table, mode, None, gdt, budget=bud)
+    return dfull[:vp], dfull[vp:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_static_apply(static_f, arrs, h, ghosts):
+    """Plan-baked edge values (GCN norms), fused-overlap layout."""
+    return _fused_fwd_pass(static_f, arrs, h, ghosts, "static")
+
+
+def _fs_fwd(static_f, arrs, h, ghosts):
+    return fused_static_apply(static_f, arrs, h, ghosts), (arrs, h, ghosts)
+
+
+def _fs_bwd(static_f, res, gout):
+    arrs, h, ghosts = res
+    dh, dg = _fused_bwd_pass(static_f, arrs, gout, "static")
+    return _zeros_d_arrs(arrs), dh.astype(h.dtype), dg.astype(ghosts.dtype)
+
+
+fused_static_apply.defvjp(_fs_fwd, _fs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_unit_apply(static_f, arrs, h, ghosts):
+    """Unit weights on live slots (the GAT regime-ordering entry)."""
+    return _fused_fwd_pass(static_f, arrs, h, ghosts, "mask")
+
+
+def _fu_fwd(static_f, arrs, h, ghosts):
+    return fused_unit_apply(static_f, arrs, h, ghosts), (arrs, h, ghosts)
+
+
+def _fu_bwd(static_f, res, gout):
+    arrs, h, ghosts = res
+    dh, dg = _fused_bwd_pass(static_f, arrs, gout, "mask")
+    return _zeros_d_arrs(arrs), dh.astype(h.dtype), dg.astype(ghosts.dtype)
+
+
+fused_unit_apply.defvjp(_fu_fwd, _fu_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_dst_apply(static_f, arrs, h, ghosts, dst_val):
+    """Edge weight = dst_val[dst e] (Dorylus GAT dst-only attention,
+    forward_ops.cpp:109-141): unit-weight fused pass, row scaling."""
+    u = _fused_fwd_pass(static_f, arrs, h, ghosts, "mask")
+    return u * dst_val.astype(jnp.float32)[:, None]
+
+
+def _fd_fwd(static_f, arrs, h, ghosts, dst_val):
+    u = _fused_fwd_pass(static_f, arrs, h, ghosts, "mask")
+    out = u * dst_val.astype(jnp.float32)[:, None]
+    return out, (arrs, h, ghosts, dst_val, u)
+
+
+def _fd_bwd(static_f, res, gout):
+    arrs, h, ghosts, dst_val, u = res
+    gscaled = gout.astype(jnp.float32) * dst_val.astype(jnp.float32)[:, None]
+    dh, dg = _fused_bwd_pass(static_f, arrs, gscaled, "mask")
+    d_dst = (u * gout.astype(jnp.float32)).sum(-1).astype(dst_val.dtype)
+    return (_zeros_d_arrs(arrs), dh.astype(h.dtype),
+            dg.astype(ghosts.dtype), d_dst)
+
+
+fused_dst_apply.defvjp(_fd_fwd, _fd_bwd)

@@ -390,10 +390,19 @@ def _reduce_part(tb, part, mode, val_ext, narrow, other_rows, budget):
 
 
 def _hyb_pass(h_table, plan, num_out, mode, val=None, gather_dtype=None,
-              other=None, n_iso=None, budget=0):
+              other=None, n_iso=None, budget=0, h_local=None, n_pure=0):
     """out[v] = sum_{e: dst e = v} weight(e) * h_table[src e] over a
     build_hyb_plan layout. mode: "static" (plan-baked values), "mask"
     (unit weights on live slots), "dynamic" (per-edge val).
+
+    h_local / n_pure (the FUSED overlap plan, ops/hyb_sharded.py
+    edges="fused"): the first n_pure buckets hold rows whose slots all
+    index [0, len(h_local)) and gather from h_local directly — on a
+    sharded mesh h_table is concat(local, ghosts) and depends on the halo
+    collective, while h_local does not, so XLA schedules the pure-bucket
+    gathers alongside the in-flight all_to_all (the reference's
+    compute/scatter overlap, pipeline.cpp:256-286) without a second plan,
+    second inverse permutation, or output add.
 
     n_iso (static int): the identity-permutation fast path for
     degree-sorted graphs — bucket outputs are already in vertex order
@@ -408,14 +417,20 @@ def _hyb_pass(h_table, plan, num_out, mode, val=None, gather_dtype=None,
     budget = budget or _MSGS_CHUNK_BYTES
     narrow = gather_dtype is not None and jnp.dtype(gather_dtype).itemsize < 4
     tb = h_table if gather_dtype is None else h_table.astype(gather_dtype)
+    tb_local = None
+    if h_local is not None:
+        tb_local = (h_local if gather_dtype is None
+                    else h_local.astype(gather_dtype))
     val_ext = None
     if mode == "dynamic":
         val_ext = jnp.concatenate([val.astype(jnp.float32),
                                    jnp.zeros((1,), jnp.float32)])
     outs, dvs = [], []
-    for b in plan["buckets"]:
+    for bi, b in enumerate(plan["buckets"]):
         orows = None if other is None else other[b["v"]]
-        out, dv = _reduce_part(tb, b, mode, val_ext, narrow, orows, budget)
+        src_tb = tb_local if bi < n_pure else tb
+        out, dv = _reduce_part(src_tb, b, mode, val_ext, narrow, orows,
+                               budget)
         outs.append(out)
         dvs.append(dv)
     top = plan["top"]

@@ -284,6 +284,22 @@ class ShardedEngine:
             log("kernel auto -> %s (%d edges/shard)", kernel, self.sharded.ep)
             cfg = dataclasses.replace(cfg, kernel=kernel)
             self.cfg = cfg
+        if isinstance(cfg.overlap, str):
+            # overlap="auto" (round 5): kernel- and platform-aware —
+            # hyb resolves to the FUSED overlap plan (measured >= serial
+            # on CPU, overlappable collectives on TPU); degree keeps the
+            # interior/boundary split (1.42x CPU win, r4); the xla
+            # edgewise split pays only where collectives are async
+            # (TPU) — it measured 0.93x on the synchronous CPU backend
+            # (weak_scaling_xla_r4.json).
+            import dataclasses
+            on_tpu = all(d.platform == "tpu"
+                         for d in self.mesh.devices.flat)
+            resolved = (cfg.overlap == "on" if cfg.overlap != "auto"
+                        else (True if cfg.kernel in ("hyb", "degree")
+                              else on_tpu))
+            cfg = dataclasses.replace(cfg, overlap=resolved)
+            self.cfg = cfg
         spmm_op = None
         spmm_split = None
         from dorylus_tpu.engine.engine import (REUSE_AUTO_MIN_CUT,
@@ -403,17 +419,28 @@ class ShardedEngine:
             if reuse_on:
                 pass  # op built above
             elif cfg.overlap and self.mesh.shape[GRAPH_AXIS] > 1:
-                # Interior/boundary plan pair: the halo-overlap path
-                # (pipeline.cpp:256-286 analog) for the slot kernels. The
-                # models never touch the combined plan on this path, so it
-                # is neither built (host time) nor shipped (its E-sized
-                # slot grids would roughly double per-chip plan HBM at
-                # exactly the scale overlap targets).
-                spmm_split = (
-                    Op(self.sharded, edges="interior", **kw),
-                    Op(self.sharded, edges="boundary", **kw))
-                stacked["spmm_int"] = spmm_split[0].arrays
-                stacked["spmm_bnd"] = spmm_split[1].arrays
+                if cfg.kernel == "hyb":
+                    # FUSED overlap plan (round 5): ONE plan whose pure
+                    # buckets gather local rows (overlappable with the
+                    # collective) and mixed buckets gather the combined
+                    # table — one inverse permutation, one output pass.
+                    # Replaces the round-4 two-plan split that measured
+                    # 0.89x (weak_scaling_hyb_r4.json).
+                    spmm_split = Op(self.sharded, edges="fused", **kw)
+                    stacked["spmm"] = spmm_split.arrays
+                else:
+                    # Interior/boundary plan pair (degree kernel): the
+                    # halo-overlap path (pipeline.cpp:256-286 analog).
+                    # The models never touch the combined plan on this
+                    # path, so it is neither built (host time) nor
+                    # shipped (its E-sized slot grids would roughly
+                    # double per-chip plan HBM at exactly the scale
+                    # overlap targets).
+                    spmm_split = (
+                        Op(self.sharded, edges="interior", **kw),
+                        Op(self.sharded, edges="boundary", **kw))
+                    stacked["spmm_int"] = spmm_split[0].arrays
+                    stacked["spmm_bnd"] = spmm_split[1].arrays
             else:
                 spmm_op = Op(self.sharded, **kw)
                 stacked["spmm"] = spmm_op.arrays
@@ -439,9 +466,14 @@ class ShardedEngine:
             table_rows = self.sharded.vp + n * self.sharded.max_h
             guard = fit_msgs_budget(padded_nbytes(stacked) // n,
                                     table_rows * w128 * 12, log)
-            # Engine-scoped: the guard rides each op's static tuple.
-            for op in ((spmm_op,) if spmm_op is not None else ()) + (
-                    spmm_split or ()):
+            # Engine-scoped: the guard rides each op's static tuple
+            # (spmm_split is a pair for the degree split, a single fused
+            # op for hyb overlap).
+            split_ops = (() if spmm_split is None
+                         else (spmm_split,) if not isinstance(spmm_split,
+                                                              tuple)
+                         else spmm_split)
+            for op in ((spmm_op,) if spmm_op is not None else ()) + split_ops:
                 op.set_msgs_budget(guard)
         self.params = jax.device_put(
             self.model.init_params(seed=cfg.seed),
