@@ -233,11 +233,14 @@ def build_ragged_plan(sharded) -> dict:
     for p, s in enumerate(sharded.shards):
         src = np.asarray(s.src[: s.num_edges])
         gsrc = src[src >= vp] - vp
-        own = gsrc // mh
-        rank = gsrc % mh
-        for q in range(n):
-            r = rank[own == q]
-            cnt[q, p] = int(r.max()) + 1 if len(r) else 0
+        # Ghost ranks are dense [0, cnt) per owner block by construction
+        # (graph/partition.py ghost_rank), so cnt = max rank + 1 — one
+        # O(E_p) grouped max per shard (the round-4 version masked the
+        # edge array once per (owner, receiver) pair: O(n²·E), a real
+        # wall at the reference's 32-shard width on big graphs).
+        mx = np.full(n, -1, np.int64)
+        np.maximum.at(mx, gsrc // mh, gsrc % mh)
+        cnt[:, p] = mx + 1
     S = max(int(cnt.sum(axis=1).max()), 1)
     in_off = np.zeros((n, n), np.int64)
     np.cumsum(cnt[:, :-1], axis=1, out=in_off[:, 1:])
