@@ -66,7 +66,9 @@ def _pad_rows(part: dict, nrows: int, e: int) -> dict:
     out = dict(part)
     out["rows"] = np.pad(part["rows"], ((0, pad), (0, 0)))
     out["cnt"] = np.pad(part["cnt"], (0, pad))
-    out["s2e"] = np.pad(part["s2e"], ((0, pad), (0, 0)), constant_values=e)
+    if "s2e" in part:  # absent on fused plans (dropped after recount)
+        out["s2e"] = np.pad(part["s2e"], ((0, pad), (0, 0)),
+                            constant_values=e)
     if "vals" in part:
         out["vals"] = np.pad(part["vals"], ((0, pad), (0, 0)))
     return out
@@ -110,14 +112,17 @@ def _uniform_plans(plans: list[dict], nreals: list[int], num_out: int,
         if has_top:
             t = p["top"]
             if t is None:
+                proto = next(q["top"] for q in plans
+                             if q["top"] is not None)
                 t = {"rows": np.zeros((0, max_width), np.int32),
                      "cnt": np.zeros(0, np.int32),
                      "rowv": np.zeros(0, np.int32),
                      "rowv_global": np.zeros(0, np.int32),
-                     "v": np.zeros(0, np.int32),
-                     "s2e": np.full((0, max_width), ep, np.int32)}
-                if "vals" in p["buckets"][0]:
-                    t["vals"] = np.zeros((0, max_width), np.float32)
+                     "v": np.zeros(0, np.int32)}
+                if "s2e" in proto:
+                    t["s2e"] = np.full((0, max_width), ep, np.int32)
+                if "vals" in proto:
+                    t["vals"] = np.zeros((0, max_width), proto["vals"].dtype)
             nt = _pad_rows(t, top_rows, ep)
             # Pad chunk rows aim at the LAST hub segment (sorted invariant)
             # with zero values; pad hub slots are never referenced by inv.
@@ -157,12 +162,36 @@ def _uniform_plans(plans: list[dict], nreals: list[int], num_out: int,
         sp["inv"] = inv.astype(np.int32)
         stacked.append(sp)
 
-    def stack(*leaves):
-        return np.stack(leaves)
-
-    out = jax.tree.map(stack, *stacked)
+    out = _stack_free(stacked)
     out["buckets"] = tuple(out["buckets"])
     return out
+
+
+def _stack_free(items):
+    """Leaf-wise np.stack that FREES each per-shard source right after
+    copying — jax.tree.map(np.stack, *plans) holds plans twice at the
+    peak, which is the difference between fitting and OOM at the 1B-edge
+    32-shard build (tools/scale_pipeline.py)."""
+    first = items[0]
+    if isinstance(first, dict):
+        return {k: _stack_free([d.pop(k) for d in items])
+                for k in list(first.keys())}
+    if isinstance(first, (list, tuple)):
+        out = []
+        for j in range(len(first)):
+            col = [seq[j] for seq in items]
+            for seq in items:
+                seq[j] = None  # release per-shard element after use
+            out.append(_stack_free(col))
+        return out
+    if first is None:
+        assert all(x is None for x in items)
+        return None
+    arr = np.empty((len(items),) + first.shape, first.dtype)
+    for i in range(len(items)):
+        arr[i] = items[i]
+        items[i] = None
+    return arr
 
 
 def _real_rows(plan: dict, i: int) -> int:
@@ -302,37 +331,50 @@ class ShardedHybSpMM:
         n, vp = sharded.n_shards, sharded.vp
         table = vp + n * sharded.max_h
 
-        deg_all = []
-        per_shard = []
-        for s in sharded.shards:
+        # Two passes over the shards, nothing E-sized retained across
+        # them: pass 1 pools degree spectra for the shared width DP,
+        # pass 2 (re)classifies and builds each shard's plans, dropping
+        # the slot->edge maps the moment liveness is recounted — at the
+        # 1B-edge 32-shard exercise (tools/scale_pipeline.py) holding
+        # per-shard index arrays across the build was itself ~28 GB.
+        def classify(s):
             src = np.asarray(s.src)
             dst = np.asarray(s.dst)
-            val = np.asarray(s.edge_val, np.float32)
-            nreal = s.num_edges
             deg = np.bincount(dst, minlength=vp)
             ghost_dst = np.zeros(vp, bool)
             ghost_dst[dst[src >= vp]] = True
             # Hubs (deg > max_width) are forced MIXED so the pure group
             # never owns a chunked top bucket (hubs near the cut would
             # straddle; few rows lose overlap, the plan stays single).
-            mixed_v = ghost_dst | (deg > max_width)
-            mixed_e = mixed_v[dst]
-            idx_p = np.where(~mixed_e)[0]
-            idx_m = np.where(mixed_e)[0]
-            per_shard.append((src, dst, val, nreal, idx_p, idx_m))
-            for d, m in ((dst[idx_p], vp), (dst[idx_m], vp),
+            mixed_e = (ghost_dst | (deg > max_width))[dst]
+            return src, dst, mixed_e
+
+        deg_all = []
+        for s in sharded.shards:
+            src, dst, mixed_e = classify(s)
+            for d, m in ((dst[~mixed_e], vp), (dst[mixed_e], vp),
                          (src, table)):
                 dg = np.bincount(d, minlength=m)
                 dg = dg[(dg > 0) & (dg <= max_width)]
                 deg_all.append(dg)
+            del src, dst, mixed_e
         deg_all = np.sort(np.concatenate(deg_all))
         widths = (_choose_widths(deg_all, lam_slots) if len(deg_all)
                   else [8])
 
+        def drop_s2e(p):
+            for bkt in p["buckets"]:
+                bkt.pop("s2e", None)
+            if p["top"] is not None:
+                p["top"].pop("s2e", None)
+
         fwd_plans, bwd_plans = [], []
-        for src, dst, val, nreal, idx_p, idx_m in per_shard:
+        for s in sharded.shards:
+            src, dst, mixed_e = classify(s)
+            val = np.asarray(s.edge_val, np.float32)
+            nreal = s.num_edges
             parts = []
-            for idx in (idx_p, idx_m):
+            for idx in (np.where(~mixed_e)[0], np.where(mixed_e)[0]):
                 ssub, dsub, vsub = src[idx], dst[idx], val[idx]
                 of = np.argsort(dsub, kind="stable")
                 p = build_hyb_plan(
@@ -346,6 +388,8 @@ class ShardedHybSpMM:
                 # each subset's tail — partition_graph tail-positions
                 # them globally and subsets preserve relative order).
                 _recount_live_all(p, int((idx < nreal).sum()))
+                drop_s2e(p)
+                del ssub, dsub, vsub, of, idx
                 parts.append(p)
             p_pure, p_mix = parts
             assert p_pure["top"] is None, "hubs must be mixed"
@@ -357,13 +401,16 @@ class ShardedHybSpMM:
             pb = build_hyb_plan(
                 dst[ob], src[ob], ob, table, max_width, lam_slots,
                 static_val=val if static_vals else None, widths=widths)
+            del ob
             pb.pop("n_slots")
             pb.pop("_n_iso", None)
             pb.pop("e2s", None)
             _recount_live_all(pb, nreal)
+            drop_s2e(pb)
             bwd_plans.append(pb)
+            del src, dst, mixed_e, val
 
-        ep = len(per_shard[0][0])
+        ep = len(np.asarray(sharded.shards[0].src))
         nones = [None] * n  # pre-recounted above
         self.has_static_vals = static_vals
         self.dynamic = False

@@ -100,6 +100,17 @@ def partition_1b(args) -> None:
     print(f"ragged plan in {rec['phases']['ragged_plan_s']}s "
           f"({rec['ragged_rows_on_wire']} exact rows/exchange)", flush=True)
 
+    # The fused plan build reads only (src, dst, edge_val, num_edges);
+    # free the interior/boundary split copies and dense per-shard
+    # features first (~25 GB at this scale).
+    for s in sharded.shards:
+        s.src_int = s.dst_int = s.val_int = None
+        s.src_bnd = s.dst_bnd = s.val_bnd = None
+        s.x = s.onehot = None
+    import gc
+
+    gc.collect()
+
     t0 = time.perf_counter()
     from dorylus_tpu.ops.hyb_sharded import ShardedHybSpMM
     op = ShardedHybSpMM(sharded, static_vals=True, edges="fused",
