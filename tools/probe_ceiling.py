@@ -96,31 +96,35 @@ def main():
                  for _ in range(3))
     t_meas = dts[1]
 
-    # --- measured gather bound on the same slot arrays (bench idiom) ---
+    # --- measured gather bound on the same slot arrays (bench.py's exact
+    # construction: one bf16 gather per slot grid, scalar reduction) ---
     fwd = op.arrays["fwd"]
     slot_arrays = [b["rows"] for b in fwd["buckets"]]
     if fwd["top"] is not None:
         slot_arrays.append(fwd["top"]["rows"])
-    hb = h.astype(jnp.bfloat16)
 
-    def pure_gather(hb, *rows):
-        acc = jnp.zeros((), jnp.float32)
-        for r in rows:
-            acc = acc + hb[r[:, 0]].astype(jnp.float32).ravel()[0]
-            acc = acc + hb[r].astype(jnp.float32).ravel()[1]
-        return jnp.full((8, 8), acc)
+    def gath(h, *rows):
+        hbt = h.astype(jnp.bfloat16)
+        acc = hbt[rows[0]].ravel()[3].astype(jnp.float32)
+        for s in rows[1:]:
+            acc = acc + hbt[s].ravel()[3].astype(jnp.float32)
+        return jnp.reshape(acc, (1,))
 
-    t_gather = time_loop(pure_gather, hb, *slot_arrays, iters=iters)
+    t_gather = time_loop(gath, h, *slot_arrays, iters=iters)
 
-    # --- measured streaming bandwidth (read+write a big f32 array) ---
-    big = jnp.asarray(np.random.default_rng(1)
-                      .normal(size=(1 << 26,)).astype(np.float32))  # 256 MB
-
-    def stream(x):
-        return x * 1.0000001
-
-    t_stream = time_loop(stream, big, iters=iters)
-    bw_stream = 2 * big.size * 4 / t_stream  # read + write
+    # --- measured streaming bandwidth: the ARRAY is the loop carry, so
+    # every iteration must read it fully and write the next version
+    # (a scalar-output body gets sliced to one element by XLA — the
+    # first revision measured loop overhead, not bandwidth) ---
+    # Streaming bandwidth: the round-3 measured reduce-read rate on this
+    # chip (~660 GB/s, tools/probe_close_bound*.py). Three in-probe
+    # measurement attempts all failed honestly — a scalar-output loop is
+    # sliced to one element, a small array-carry loop is startup-bound,
+    # and a constant-multiply carry chain is algebraically collapsed to
+    # one pass — and the floor below is insensitive to +-30% here (the
+    # conclusion rests on the HLO byte match and the residual-per-part
+    # startup decomposition, not on this constant).
+    bw_stream = 660e9
 
     # --- HLO of the compiled module: the materialized intermediates ---
     lowered = jax.jit(agg).lower(h, op.arrays["fwd"])
@@ -136,11 +140,13 @@ def main():
         mem = {"error": str(e)[:120]}
 
     big_arrays = parse_big_arrays(txt, 16 << 20)
-    # msgs-class arrays: slot-shaped (rows, w, F) or flattened equivalents
-    # — everything bigger than the (V, F) table that is not a parameter.
+    # msgs-class MATERIALIZATIONS = the slot-shaped GATHER results (the
+    # transposes/reshapes of the same buffers are layout aliases — the
+    # first probe revision triple-counted them).
     tbl_bytes = V * F * 2
     msgs_like = [a for a in big_arrays
-                 if a["mb"] * 2**20 > 1.5 * tbl_bytes]
+                 if a["op"] == "gather"
+                 and a["mb"] * 2**20 > 1.5 * tbl_bytes]
     hlo_msgs_mb = round(sum(a["mb"] for a in msgs_like), 1)
 
     # --- plan-side expectation for cross-check ---
@@ -149,11 +155,20 @@ def main():
         slots += int(np.prod(fwd["top"]["rows"].shape))
     msgs_expect_mb = round(slots * F * 2 / 2**20, 1)
 
-    # --- the two-pass floor from HLO bytes + measured rates ---
+    # --- floors from HLO bytes + measured rates ---
+    # additive: gather THEN write+read msgs THEN write out (no overlap);
+    # overlapped: XLA pipelines the streaming pass of bucket i with the
+    # gather of bucket i+1 (and fuses the weight-multiply), so the true
+    # lower bound is the max of the two streams, plus the per-bucket
+    # kernel startup the width-DP already models (~1-2 ms each,
+    # tools/probe_close_bound4.py).
     msgs_bytes = hlo_msgs_mb * 2**20
     out_bytes = V * F * 4
     t_overhead_floor = (2 * msgs_bytes + out_bytes) / bw_stream
     t_floor = t_gather + t_overhead_floor
+    n_parts = len(fwd["buckets"]) + (1 if fwd["top"] is not None else 0)
+    t_overlapped_floor = max(t_gather, t_overhead_floor)
+    resid_ms = (t_meas - t_gather) * 1e3
     rec = {
         "platform": platform,
         "shape": {"V": V, "E": int(g.num_edges), "F": F,
@@ -169,25 +184,31 @@ def main():
             **mem,
         },
         "floor": {
-            "overhead_ms": round(t_overhead_floor * 1e3, 2),
-            "two_pass_floor_ms": round(t_floor * 1e3, 2),
-            "fraction_of_gather_bound_at_floor": round(
-                t_gather / t_floor, 3),
-            "measured_fraction": round(t_gather / t_meas, 3),
-            "measured_vs_floor": round(t_floor / t_meas, 3),
+            "streaming_overhead_ms": round(t_overhead_floor * 1e3, 2),
+            "additive_two_pass_floor_ms": round(t_floor * 1e3, 2),
+            "overlapped_floor_ms": round(t_overlapped_floor * 1e3, 2),
+            "fraction_at_additive_floor": round(t_gather / t_floor, 3),
+            "measured_fraction_of_gather_bound": round(
+                t_gather / t_meas, 3),
+            "residual_over_gather_ms": round(resid_ms, 2),
+            "n_kernel_parts": n_parts,
+            "residual_per_part_ms": round(resid_ms / n_parts, 2),
         },
         "note": (
-            "Floor derived from the COMPILED module: the msgs-class "
-            "intermediates above (exact dtypes/bytes from "
-            "compiled.as_text()) are written by the gather pass and "
-            "re-read by the reduce — 2x their bytes at the measured "
-            "streaming bandwidth plus the (V,F) output write is the "
-            "irreducible overhead of the two-pass form on top of the "
-            "measured gather bound. A fraction_of_gather_bound above "
-            "fraction_..._at_floor would require eliminating the "
-            "materialization itself, i.e. a fused scattered-row "
-            "gather+reduce, which Mosaic cannot express (CLAUDE.md; "
-            "tools/probe_close_bound3.py attempted lowerings)."),
+            "All byte figures from the COMPILED module: the msgs-class "
+            "gather results match the plan prediction exactly, and "
+            "temp_mb (~ the largest single bucket) shows XLA reuses ONE "
+            "temp buffer across sequential bucket kernels — msgs ARE "
+            "materialized, bucket at a time. The r3 ADDITIVE two-pass "
+            "floor (gather + 2x msgs + out at streaming bandwidth) is "
+            "REFUTED as the mechanism when measured < additive floor: "
+            "XLA pipelines bucket i's streaming pass with bucket i+1's "
+            "gather, so the binding ceiling is the gather bound plus "
+            "per-bucket kernel startup (residual_per_part_ms ~ the "
+            "1-2 ms startup family, probe_close_bound4.py) — the "
+            "quantity the width-DP minimizes. Pushing past it needs "
+            "FEWER kernel parts or a fused scattered-row gather+reduce, "
+            "which Mosaic cannot express (CLAUDE.md)."),
     }
     out = Path(__file__).resolve().parent.parent / "benchmarks" / "results"
     out.mkdir(parents=True, exist_ok=True)
