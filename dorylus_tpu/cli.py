@@ -97,10 +97,15 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                         "reference's exact scatter), padded = fixed "
                         "max_h rows per pair (works everywhere); auto = "
                         "ragged on TPU meshes (parallel/halo.py)")
+    p.add_argument("--overlap", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="halo/compute overlap: auto (default) resolves "
+                        "per kernel+platform — hyb gets the FUSED plan "
+                        "(1.38x over serial at 2 shards, "
+                        "weak_scaling_hyb_r5.json), degree the plan-pair "
+                        "split (1.42x), xla TPU-only")
     p.add_argument("--no-overlap", action="store_true",
-                   help="disable the interior/boundary halo-overlap "
-                        "split (weak_scaling artifacts: helps degree "
-                        "1.42x, hurts hyb 0.89x on XLA:CPU)")
+                   help=argparse.SUPPRESS)  # legacy alias for --overlap off
     p.add_argument("--compile-cache", default=None, metavar="DIR|off",
                    help="persistent XLA compile cache dir (default: "
                         "$DORYLUS_COMPILE_CACHE or ~/.cache/dorylus_tpu/"
@@ -154,7 +159,8 @@ def cmd_train(args) -> int:
         kernel=args.kernel, epochs_per_call=args.epochs_per_call,
         reuse=args.reuse, reuse_passes=args.reuse_passes,
         reuse_max_pairs=args.reuse_max_pairs,
-        halo=args.halo, overlap=not args.no_overlap,
+        halo=args.halo,
+        overlap="off" if args.no_overlap else args.overlap,
         compile_cache=args.compile_cache,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         agg_dtype="bfloat16" if args.agg_bf16 else "float32",
