@@ -200,3 +200,30 @@ def test_canary_fake_failure_falls_back(monkeypatch):
     assert "ragged" not in eng.arrs
     rep = eng.run(2)
     assert len(rep.epochs) == 2
+
+
+def test_canary_expectation_matches_ragged_semantics():
+    """The canary's numeric expectation must agree with the documented
+    ragged_all_to_all semantics (emulated in numpy) — a wrong expectation
+    would fail healthy pods into the padded fallback."""
+    import numpy as np
+
+    for n in (2, 4, 8):
+        base = np.arange(n, dtype=np.float32)
+        x = np.zeros((n, n, 2), np.float32)
+        x[..., 0] = base[:, None] + base[None, :] / 8.0
+        x[..., 1] = 1.0
+        operands = [x[p] for p in range(n)]
+        outputs = [np.zeros((2 * n, 2), np.float32) for _ in range(n)]
+        ones = np.ones(n, np.int64)
+        in_offs = [np.arange(n) for _ in range(n)]
+        out_offs = [np.full(n, 2 * me) for me in range(n)]
+        # emulate: sender q's row for peer p lands at q's out_off[p] on p
+        got = emulate_ragged(operands, outputs, in_offs,
+                             [ones] * n, out_offs)
+        want = np.zeros((n, 2 * n, 2), np.float32)
+        for p in range(n):
+            for q in range(n):
+                want[p, 2 * q, 0] = q + p / 8.0
+                want[p, 2 * q, 1] = 1.0
+        np.testing.assert_allclose(np.stack(got), want)
