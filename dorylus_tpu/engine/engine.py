@@ -116,6 +116,24 @@ def reuse_payoff(cfg: TrainConfig, num_vertices: int,
     return ceiling >= mine, ceiling, mine
 
 
+def gate_reuse_auto(cfg: TrainConfig, num_vertices: int,
+                    num_edges: int) -> bool:
+    """The reuse='auto' pre-mine gate WITH its decision log — one
+    implementation shared by Engine and ShardedEngine (the arithmetic
+    must never drift between them)."""
+    worth, ceiling, mine = reuse_payoff(cfg, num_vertices, num_edges)
+    if not worth:
+        log("reuse auto: predicted saving ceiling %.2fs "
+            "(cut<=%.2f x %d rows x %.1e s/row x eff %.2f x "
+            "%d epochs) < mine cost %.2fs (%d edges x %.1e "
+            "s/edge) — skipping mining; --reuse pairs forces",
+            ceiling, REUSE_CUT_CAP, num_vertices,
+            REUSE_SAVE_S_PER_ROW,
+            REUSE_MODEL_EFF.get(cfg.model, 1.0), cfg.epochs,
+            mine, num_edges, REUSE_MINE_S_PER_EDGE)
+    return worth
+
+
 def resolve_reuse_budget(cfg: TrainConfig, base_rows: int,
                          width: int) -> tuple[int, bool]:
     """(max_pairs, enabled) for the pair-reuse rewrite.
@@ -250,18 +268,8 @@ class Engine:
             if reuse_on and cfg.reuse == "auto":
                 # Payoff gate BEFORE mining (model- and horizon-aware):
                 # skip when even a best-case cut cannot repay the mine.
-                worth, ceiling, mine = reuse_payoff(
-                    cfg, graph.num_vertices, graph.num_edges)
-                if not worth:
-                    log("reuse auto: predicted saving ceiling %.2fs "
-                        "(cut<=%.2f x %d rows x %.1e s/row x eff %.2f x "
-                        "%d epochs) < mine cost %.2fs (%d edges x %.1e "
-                        "s/edge) — skipping mining; --reuse pairs forces",
-                        ceiling, REUSE_CUT_CAP, graph.num_vertices,
-                        REUSE_SAVE_S_PER_ROW,
-                        REUSE_MODEL_EFF.get(cfg.model, 1.0), cfg.epochs,
-                        mine, graph.num_edges, REUSE_MINE_S_PER_EDGE)
-                    reuse_on = False
+                reuse_on = gate_reuse_auto(cfg, graph.num_vertices,
+                                           graph.num_edges)
             if reuse_on:
                 width = _max_agg_width(layers, cfg, graph.num_vertices)
                 cap, reuse_on = resolve_reuse_budget(

@@ -337,27 +337,30 @@ class ShardedHybSpMM:
         # the slot->edge maps the moment liveness is recounted — at the
         # 1B-edge 32-shard exercise (tools/scale_pipeline.py) holding
         # per-shard index arrays across the build was itself ~28 GB.
-        def classify(s):
+        # Pass 1: per-shard vertex classification + pooled degree
+        # spectra. Cached per shard: only (vp,)-sized vectors (deg,
+        # mixed_v) — a few hundred MB at 63M vertices vs the ~28 GB of
+        # per-shard E-sized index arrays the first revision held.
+        # Hubs (deg > max_width) are forced MIXED so the pure group
+        # never owns a chunked top bucket (hubs near the cut would
+        # straddle; few rows lose overlap, the plan stays single).
+        deg_all = []
+        cls_cache = []
+        for s in sharded.shards:
             src = np.asarray(s.src)
             dst = np.asarray(s.dst)
             deg = np.bincount(dst, minlength=vp)
             ghost_dst = np.zeros(vp, bool)
             ghost_dst[dst[src >= vp]] = True
-            # Hubs (deg > max_width) are forced MIXED so the pure group
-            # never owns a chunked top bucket (hubs near the cut would
-            # straddle; few rows lose overlap, the plan stays single).
-            mixed_e = (ghost_dst | (deg > max_width))[dst]
-            return src, dst, mixed_e
-
-        deg_all = []
-        for s in sharded.shards:
-            src, dst, mixed_e = classify(s)
-            for d, m in ((dst[~mixed_e], vp), (dst[mixed_e], vp),
-                         (src, table)):
-                dg = np.bincount(d, minlength=m)
+            mixed_v = ghost_dst | (deg > max_width)
+            cls_cache.append(mixed_v)
+            # Pure/mixed dst spectra straight from per-vertex degrees
+            # (each vertex contributes its degree once); bwd from src.
+            for dg in (deg[~mixed_v], deg[mixed_v],
+                       np.bincount(src, minlength=table)):
                 dg = dg[(dg > 0) & (dg <= max_width)]
                 deg_all.append(dg)
-            del src, dst, mixed_e
+            del src, dst, deg, ghost_dst
         deg_all = np.sort(np.concatenate(deg_all))
         widths = (_choose_widths(deg_all, lam_slots) if len(deg_all)
                   else [8])
@@ -369,8 +372,10 @@ class ShardedHybSpMM:
                 p["top"].pop("s2e", None)
 
         fwd_plans, bwd_plans = [], []
-        for s in sharded.shards:
-            src, dst, mixed_e = classify(s)
+        for s, mixed_v in zip(sharded.shards, cls_cache):
+            src = np.asarray(s.src)
+            dst = np.asarray(s.dst)
+            mixed_e = mixed_v[dst]
             val = np.asarray(s.edge_val, np.float32)
             nreal = s.num_edges
             parts = []

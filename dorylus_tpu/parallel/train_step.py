@@ -310,18 +310,12 @@ class ShardedEngine:
         if cfg.reuse == "pairs" and not reuse_on:
             log("pair reuse requires kernel=hyb (have %s) — off", cfg.kernel)
         if reuse_on and cfg.reuse == "auto":
-            # Payoff gate BEFORE mining (engine.reuse_payoff): model- and
-            # horizon-aware; totals across shards (mining is per shard
-            # but sums to the same edge count).
-            from dorylus_tpu.engine.engine import reuse_payoff
-            worth, ceiling, mine = reuse_payoff(
-                cfg, graph.num_vertices, graph.num_edges)
-            if not worth:
-                log("reuse auto: predicted saving ceiling %.2fs < mine "
-                    "cost %.2fs over %d epochs (model %s) — skipping "
-                    "mining; --reuse pairs forces",
-                    ceiling, mine, cfg.epochs, cfg.model)
-                reuse_on = False
+            # Payoff gate BEFORE mining (engine.gate_reuse_auto): model-
+            # and horizon-aware; totals across shards (mining is per
+            # shard but sums to the same edge count).
+            from dorylus_tpu.engine.engine import gate_reuse_auto
+            reuse_on = gate_reuse_auto(cfg, graph.num_vertices,
+                                       graph.num_edges)
         if reuse_on:
             # Budget against the per-shard GATHER table (local + ghost
             # rows) — that is the array the regime cliff is about. Under
@@ -428,6 +422,14 @@ class ShardedEngine:
                     # 0.89x (weak_scaling_hyb_r4.json).
                     spmm_split = Op(self.sharded, edges="fused", **kw)
                     stacked["spmm"] = spmm_split.arrays
+                    # The models' fused branch reads only aux["spmm"];
+                    # batch.src_int merely SIGNALS the ghost-rows-only
+                    # halo — ship (n, 0) stubs instead of six E-sized
+                    # split arrays (~24 B/edge/shard of dead HBM at
+                    # exactly the scale overlap targets).
+                    for k in ("src_int", "dst_int", "val_int",
+                              "src_bnd", "dst_bnd", "val_bnd"):
+                        stacked[k] = np.zeros((n, 0), stacked[k].dtype)
                 else:
                     # Interior/boundary plan pair (degree kernel): the
                     # halo-overlap path (pipeline.cpp:256-286 analog).

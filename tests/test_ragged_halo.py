@@ -205,14 +205,18 @@ def test_canary_fake_failure_falls_back(monkeypatch):
 def test_canary_expectation_matches_ragged_semantics():
     """The canary's numeric expectation must agree with the documented
     ragged_all_to_all semantics (emulated in numpy) — a wrong expectation
-    would fail healthy pods into the padded fallback."""
+    would fail healthy pods into the padded fallback. Payloads must also
+    survive a bf16 round-trip EXACTLY at the reference's 32-shard width
+    (the first canary revision used p + q/8, which rounds at >=30 shards
+    in bf16 and would have false-failed a healthy pod)."""
+    import jax.numpy as jnp
     import numpy as np
 
-    for n in (2, 4, 8):
+    for n in (2, 8, 32, 64):
         base = np.arange(n, dtype=np.float32)
         x = np.zeros((n, n, 2), np.float32)
-        x[..., 0] = base[:, None] + base[None, :] / 8.0
-        x[..., 1] = 1.0
+        x[..., 0] = base[:, None]
+        x[..., 1] = base[None, :]
         operands = [x[p] for p in range(n)]
         outputs = [np.zeros((2 * n, 2), np.float32) for _ in range(n)]
         ones = np.ones(n, np.int64)
@@ -222,8 +226,11 @@ def test_canary_expectation_matches_ragged_semantics():
         got = emulate_ragged(operands, outputs, in_offs,
                              [ones] * n, out_offs)
         want = np.zeros((n, 2 * n, 2), np.float32)
-        for p in range(n):
-            for q in range(n):
-                want[p, 2 * q, 0] = q + p / 8.0
-                want[p, 2 * q, 1] = 1.0
-        np.testing.assert_allclose(np.stack(got), want)
+        want[:, 0::2, 0] = base[None, :]
+        want[:, 0::2, 1] = base[:, None]
+        np.testing.assert_array_equal(np.stack(got), want)
+        # bf16 exactness of both operand and expectation.
+        for arr in (x, want):
+            rt = np.asarray(jnp.asarray(arr, jnp.bfloat16)).astype(
+                np.float32)
+            np.testing.assert_array_equal(rt, arr)
