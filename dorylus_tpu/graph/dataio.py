@@ -20,6 +20,7 @@ unchanged.
 
 from __future__ import annotations
 
+import re
 import struct
 from pathlib import Path
 from typing import Optional
@@ -106,19 +107,25 @@ def read_text_edges(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     return native.parse_edges(path)
 
 
+_EDGE_LINE = re.compile(r"^[ \t\r]*(\d+)[ \t\r]+(\d+)")
+
+
 def _read_text_edges_py(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Line rule — IDENTICAL to gc_parse_edges (tests/test_parse_edges.py
+    pins the equivalence on adversarial lines): an edge line is a leading
+    digit run, whitespace, a second digit run; anything after the second
+    run is ignored ('1 2.5' -> (1, 2)); lines with negatives, a
+    non-digit suffix on the FIRST token ('12x 5'), or ids >= 2^31 are
+    dropped (a wrapped id would corrupt downstream counting sorts);
+    '#'/'%' comments and self loops are dropped."""
     srcs, dsts = [], []
     with open(path) as f:
         for line in f:
-            if not line.strip() or line[0] in "#%":
+            m = _EDGE_LINE.match(line)
+            if not m:
                 continue
-            parts = line.split()
-            # Malformed lines are skipped, matching gc_parse_edges.
-            try:
-                s, d = int(parts[0]), int(parts[1])
-            except (IndexError, ValueError):
-                continue
-            if s == d:
+            s, d = int(m.group(1)), int(m.group(2))
+            if s == d or s >= 2**31 or d >= 2**31:
                 continue
             srcs.append(s)
             dsts.append(d)

@@ -25,12 +25,25 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists():
+    # Rebuild when the source is NEWER than the .so, not just when the
+    # .so is missing — a stale binary silently serves old semantics
+    # (and the arch-specific -march=native build is .gitignored, so a
+    # fresh clone always builds for its own host).
+    src_path = _NATIVE_DIR / "graphcore.cpp"
+    try:
+        stale = (not _LIB_PATH.exists()
+                 or (src_path.exists()
+                     and src_path.stat().st_mtime
+                     > _LIB_PATH.stat().st_mtime))
+    except OSError:
+        stale = not _LIB_PATH.exists()
+    if stale:
         try:
             subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not _LIB_PATH.exists():
+                return None  # no compiler, no binary -> numpy fallbacks
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
@@ -126,7 +139,6 @@ def parse_edges(path) -> tuple[np.ndarray, np.ndarray]:
         from dorylus_tpu.graph.dataio import _read_text_edges_py
         return _read_text_edges_py(path)
     import mmap
-    from pathlib import Path
     with open(Path(path), "rb") as f:
         length = f.seek(0, 2)
         if length == 0:
@@ -197,10 +209,13 @@ def ldg_partition(src: np.ndarray, dst: np.ndarray, num_v: int,
     graph the refinement takes the cut from 0.49 to ~0.15; METIS-quality
     parts files still load via partition method "metis"."""
     lib = _load()
-    # Build CSR over the undirected neighborhood (dst-sorted adjacency).
+    # Build CSR over the undirected neighborhood (dst-sorted adjacency)
+    # via the module's own O(E) counting sort — np.argsort here was an
+    # O(E log E) single-threaded wall in exactly the big-graph path this
+    # partitioner exists for.
     s = np.concatenate([src, dst]).astype(np.int32)
     d = np.concatenate([dst, src]).astype(np.int32)
-    order = np.argsort(d, kind="stable")
+    order = sort_by_dst(d, num_v)
     col = s[order]
     counts = np.bincount(d, minlength=num_v)
     row_ptr = np.zeros(num_v + 1, np.int64)

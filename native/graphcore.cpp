@@ -178,15 +178,24 @@ static int64_t gc_parse_chunk(const char* p, const char* end,
         }
         uint64_t a = 0, b = 0;
         bool ok1 = false, ok2 = false;
+        // Saturating accumulation: a digit run past int32 range must be
+        // DROPPED, never wrapped into a negative id (a wrapped id later
+        // indexes counting sorts out of bounds). Saturate above 2^32 so
+        // even 20+-digit runs cannot wrap uint64 back under the limit.
         while (p < end && *p >= '0' && *p <= '9') {
-            a = a * 10 + (uint64_t)(*p - '0'); ++p; ok1 = true;
+            a = a * 10 + (uint64_t)(*p - '0');
+            if (a > (1ull << 32)) a = (1ull << 32);
+            ++p; ok1 = true;
         }
         while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
         while (p < end && *p >= '0' && *p <= '9') {
-            b = b * 10 + (uint64_t)(*p - '0'); ++p; ok2 = true;
+            b = b * 10 + (uint64_t)(*p - '0');
+            if (b > (1ull << 32)) b = (1ull << 32);
+            ++p; ok2 = true;
         }
         p = gc_next_line(p, end);
-        if (ok1 && ok2 && a != b) {
+        if (ok1 && ok2 && a != b
+            && a < (1ull << 31) && b < (1ull << 31)) {
             if (src) { src[n] = (int32_t)a; dst[n] = (int32_t)b; }
             ++n;
         }
@@ -397,6 +406,6 @@ int64_t gc_mine_pairs(const int32_t* src, const int32_t* dst, int64_t e,
     return np;
 }
 
-int32_t gc_version() { return 3; }
+int32_t gc_version() { return 4; }
 
 }  // extern "C"

@@ -62,3 +62,42 @@ def test_empty_file(tmp_path):
     p.write_text("")
     s, d = read_text_edges(p)
     assert len(s) == 0 and len(d) == 0
+
+
+# Round-5 review: the two parsers previously DIVERGED on these (python
+# int() accepted '-1' and rejected '2.5'-suffixed tokens; native wrapped
+# ids >= 2^31 into negative int32 that corrupt downstream counting
+# sorts). The unified rule: leading digit run, whitespace, digit run,
+# rest-of-line ignored; negatives, non-digit first-token suffixes and
+# ids >= 2^31 drop the line.
+ADVERSARIAL = """1 2.5
+-1 2
+1 -2
+3000000000 5
+5 3000000000
+99999999999999999999 7
+12x 5
+12 5x
+2147483647 1
+2147483648 1
+"""
+
+ADV_WANT = [(1, 2), (12, 5), (2147483647, 1)]
+
+
+def test_python_fallback_adversarial(tmp_path):
+    p = tmp_path / "adv.txt"
+    p.write_text(ADVERSARIAL)
+    s, d = _read_text_edges_py(p)
+    assert list(zip(s.tolist(), d.tolist())) == ADV_WANT
+    assert (s >= 0).all() and (d >= 0).all()
+
+
+def test_native_parser_adversarial(tmp_path):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    p = tmp_path / "adv.txt"
+    p.write_text(ADVERSARIAL)
+    s, d = native.parse_edges(p)
+    assert list(zip(s.tolist(), d.tolist())) == ADV_WANT
+    assert (s >= 0).all() and (d >= 0).all()
