@@ -24,7 +24,7 @@ from dorylus_tpu.models.base import GraphBatch
 from dorylus_tpu.ops.spmm import aggregate
 
 # Public on-demand list price per chip-hour (us-central, v5e, 2025); used
-# only for the report's cost estimate — override via report_cost(price=...).
+# only for the report's cost estimate — override via report_cost(price_per_chip_hour=...).
 DEFAULT_CHIP_USD_PER_HOUR = 1.20
 
 
@@ -54,61 +54,91 @@ def profile_stages(model, params, batch: GraphBatch,
 
     # The agg brackets must time the kernel dispatch the MODEL uses, or
     # stage sums stop bracketing the fused step: GAT drives the
-    # dst-functional path (apply_dst — no per-edge value arrays), GCN with
-    # static norms drives apply_static (models/gat.py:117, gcn.py:97).
-    is_gat = type(model).__name__ == "GAT"
+    # dst-functional path (apply_dst — no per-edge value arrays; past the
+    # gather cliff its regime ordering switches to the unit-weight entry
+    # at the INPUT width, models/gat.py), GCN with static norms drives
+    # apply_static at min(fin, fout) (or the input width past the cliff —
+    # models/gcn.py past_agg_cliff). Round-5 fix: the brackets replicate
+    # that width/mode selection instead of assuming min(fin, fout)/fout.
+    from dorylus_tpu.models.gcn import past_agg_cliff
 
-    def _model_agg(spmm_op, arrays, table, batch):
-        if is_gat and hasattr(spmm_op, "apply_dst"):
+    is_gat = type(model).__name__ == "GAT"
+    spmm_op = getattr(model, "spmm_op", None)
+    V = batch.x.shape[0]
+
+    def _layer_agg_choice(fin, fout):
+        """(width, mode) the model actually aggregates at."""
+        if is_gat:
+            if (spmm_op is not None and hasattr(spmm_op, "apply_unit")
+                    and fin <= 128 and past_agg_cliff(spmm_op, V, fout)):
+                return fin, "unit"
+            return fout, "dst"
+        tf = getattr(model, "optimize_order", True) and fin > fout
+        if tf and past_agg_cliff(spmm_op, V, fout):
+            tf = fin > 128
+        width = fout if tf else fin
+        if spmm_op is None:
+            return width, "edgewise"
+        return width, ("static" if getattr(spmm_op, "has_static_vals",
+                                           False) else "dynamic")
+
+    def _model_agg(arrays, table, batch, mode):
+        if mode == "unit":
+            return spmm_op.apply_unit(arrays, table)
+        if mode == "dst":
             # Data-dependent stand-in for leaky(z·a) — a (Vp,) column.
             return spmm_op.apply_dst(arrays, table, table[:, 0])
-        if getattr(spmm_op, "has_static_vals", False):
+        if mode == "static":
             return spmm_op.apply_static(arrays, table)
         return spmm_op.apply(arrays, table, batch.edge_val)
 
-    h = batch.x
     for l in range(model.layers.num_layers):
         w = params[f"w{l}"]
         fin, fout = w.shape
-        f = fout if is_gat else min(fin, fout)
-        hh = h[:, :f] if h.shape[1] >= f else jnp.pad(h, ((0, 0), (0, f - h.shape[1])))
+        f, mode = _layer_agg_choice(fin, fout)
+        x = batch.x
+        hh = (x[:, :f] if x.shape[1] >= f
+              else jnp.pad(x, ((0, 0), (0, f - x.shape[1]))))
+        hin = (x[:, :fin] if x.shape[1] >= fin
+               else jnp.pad(x, ((0, 0), (0, fin - x.shape[1]))))
+        last = l == model.layers.num_layers - 1
 
-        spmm_op = getattr(model, "spmm_op", None)
-
-        def agg_fn(hh, batch, c):
-            # Time the kernel the engine actually selected (degree when
-            # bound), not unconditionally the edgewise path.
+        def agg_fn(hh, batch, c, mode=mode):
+            # Time the kernel the engine actually selected (slot-grid
+            # when bound), not unconditionally the edgewise path.
             if spmm_op is not None:
                 arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
-                return _model_agg(spmm_op, arrays, hh + c * 1e-12, batch)
+                return _model_agg(arrays, hh + c * 1e-12, batch, mode)
             return aggregate(hh + c * 1e-12, batch.src, batch.dst,
                              batch.edge_val, batch.self_val, sorted_dst=True)
 
-        def agg_bwd_fn(hh, batch, c):
+        def agg_bwd_fn(hh, batch, c, mode=mode):
             # Backward aggregate = SpMM over the transposed adjacency
             # (gcn_ops.cpp:130-153 dir BACKWARD).
             if spmm_op is not None:
                 arrays = (batch.aux or {}).get("spmm", spmm_op.arrays)
 
                 def loss(x):
-                    o = _model_agg(spmm_op, arrays, x, batch)
+                    o = _model_agg(arrays, x, batch, mode)
                     return (o * o).sum()
 
                 return jax.grad(loss)(hh + c * 1e-12)
             return aggregate(hh + c * 1e-12, batch.dst, batch.src,
                              batch.edge_val, batch.self_val, sorted_dst=False)
 
-        def dense_fn(hh, w, c):
-            return jnp.tanh(jnp.dot(hh + c * 1e-12, w[:f],
-                                    preferred_element_type=jnp.float32))
+        def dense_fn(hin, w, c, last=last):
+            # The model's ACTUAL ApplyVertex shape: (V, fin) @ (fin, fout);
+            # tanh only on GCN hidden layers (GAT has no activation).
+            z = jnp.dot(hin + c * 1e-12, w,
+                        preferred_element_type=jnp.float32)
+            return z if (is_gat or last) else jnp.tanh(z)
 
         out[f"aggregate_l{l}_ms"] = 1e3 * _scalar_time(agg_fn, hh, batch,
                                                        iters=iters)
         out[f"aggregate_l{l}_bwd_ms"] = 1e3 * _scalar_time(
             agg_bwd_fn, hh, batch, iters=iters)
-        out[f"dense_l{l}_ms"] = 1e3 * _scalar_time(dense_fn, hh, w,
+        out[f"dense_l{l}_ms"] = 1e3 * _scalar_time(dense_fn, hin, w,
                                                    iters=iters)
-        h = jnp.zeros((batch.x.shape[0], fout), batch.x.dtype)
 
     def fwd_fn(params, batch, c):
         first = params[list(params.keys())[0]]

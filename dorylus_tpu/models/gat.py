@@ -283,7 +283,12 @@ class GAT:
                                             z.shape[0],
                                             sorted_dst=self.sorted_dst,
                                             edge_chunk=self.edge_chunk)
-            h = z + agg
+            # Hidden layers return to compute_dtype (z is f32 via
+            # preferred_element_type; GAT has no activation) — without
+            # this --bf16 applied to layer 0 only (round-5 review). The
+            # final layer keeps f32 logits for the loss.
+            h = ((z + agg).astype(compute_dtype)
+                 if l < num_layers - 1 else z + agg)
             if return_intermediates:
                 inter.append((z, az, att, h))
         if return_intermediates:

@@ -182,7 +182,7 @@ class GCN:
                               edge_chunk=self.edge_chunk)
         return out_i + out_b
 
-    def _agg_halo(self, x, batch, halo, exact: bool = False):
+    def _agg_halo(self, x, batch, halo):
         """Aggregate x (building the halo table from it).
 
         Note: GCN norms factorize as f(src)·f(dst) with f = sqrt(self_val),
@@ -191,8 +191,7 @@ class GCN:
         unit-weight SpMM, dst_val = f. MEASURED SLOWER for GCN on v5e
         (Reddit epoch 224 -> 310 ms bf16): f is a constant here, and the
         per-edge val gather it removes is cheaper than the fusion changes
-        it causes. Keep the per-edge path; `exact` is reserved for oracle
-        intermediates."""
+        it causes. Keep the per-edge path."""
         table = halo(x) if halo is not None else x
         return self._aggregate(x, batch, table)
 
@@ -202,6 +201,10 @@ class GCN:
             out = spmm_dst_blocked(table, blk, h.shape[0], self.blk_rows)
             return out + h * batch.self_val[:, None].astype(h.dtype)
         if self.spmm_op is not None:
+            # Production paths ALWAYS ship the plan via batch.aux (the
+            # closure fallback below is for small-scale direct callers —
+            # at Reddit scale a closed-over plan is an HTTP 413 through
+            # the remote tunnel and a recompile hazard; CLAUDE.md).
             arrays = (batch.aux or {}).get("spmm", self.spmm_op.arrays)
             if getattr(self.spmm_op, "has_static_vals", False):
                 # GCN norms are static per graph: the (R, B) slot values
@@ -283,7 +286,12 @@ class GCN:
                 ah = self._agg_halo(hs, batch, halo)
                 z = _psum_feat(
                     jnp.dot(ah, ws, preferred_element_type=jnp.float32))
-            h = jnp.tanh(z) if l < self.layers.num_layers - 1 else z
+            # Hidden activations return to compute_dtype (z is f32 via
+            # preferred_element_type): without this cast --bf16 applied
+            # to layer 0 only — every later matmul/gather/halo silently
+            # promoted to f32 (round-5 review).
+            h = (jnp.tanh(z).astype(compute_dtype)
+                 if l < self.layers.num_layers - 1 else z)
         return h
 
     def forward(
@@ -325,16 +333,17 @@ class GCN:
                 if split:
                     z = self._aggregate_split(hw, batch, halo(hw))
                 else:
-                    z = self._agg_halo(hw, batch, halo,
-                                       exact=return_intermediates)
+                    z = self._agg_halo(hw, batch, halo)
             else:
                 if split:
                     ah = self._aggregate_split(h, batch, halo(h))
                 else:
-                    ah = self._agg_halo(h, batch, halo,
-                                        exact=return_intermediates)
+                    ah = self._agg_halo(h, batch, halo)
                 z = jnp.dot(ah, w, preferred_element_type=jnp.float32)
-            h = jnp.tanh(z) if l < num_layers - 1 else z
+            # Hidden activations return to compute_dtype (see _forward_tp
+            # note): z is f32; without the cast --bf16 stopped at layer 0.
+            h = (jnp.tanh(z).astype(compute_dtype)
+                 if l < num_layers - 1 else z)
             if return_intermediates:
                 inter.append((ah, z, h))
         if return_intermediates:

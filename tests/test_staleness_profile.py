@@ -37,3 +37,22 @@ def test_profile_stages():
     assert all(v > 0 for v in times.values())
     assert "cost" in eng.report.notes
     assert eng.report.notes["cost"]["chip_seconds"] > 0
+
+
+def test_profile_gat_growing_layer():
+    """Round-5 regression: the dense bracket used w[:f] with f=fout,
+    crashing on GAT layers that GROW the feature dim (and silently
+    mis-shaping GCN shrinking layers); it must time the model's actual
+    (V, fin) @ (fin, fout)."""
+    from dorylus_tpu.common.config import LayerConfig, TrainConfig
+    from dorylus_tpu.engine.engine import Engine
+    from dorylus_tpu.graph.graph import synthetic_graph
+
+    g = synthetic_graph(500, 6, 4, 3, seed=1)
+    eng = Engine(g, LayerConfig([4, 8, 3]),
+                 TrainConfig(model="gat", learning_rate=0.005, epochs=1,
+                             eval_every=0))
+    times = eng.profile(iters=2)
+    for l in (0, 1):
+        assert times[f"dense_l{l}_ms"] > 0
+        assert times[f"aggregate_l{l}_ms"] > 0
