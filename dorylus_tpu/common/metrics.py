@@ -70,10 +70,23 @@ class RunReport:
 
     @property
     def avg_epoch_ms(self) -> float:
-        # Skip epoch 0 (compile) like the reference skips warmup in averages.
-        timed = self.epochs[1:] if len(self.epochs) > 1 else self.epochs
-        if not timed:
+        # Skip the whole FIRST COMPILED GROUP, not just epoch 0: engines
+        # smear a group's wall time (compile included) across all k of
+        # its records as identical time_ms values, so dropping one
+        # record still left k-1 compile-inflated entries in the average
+        # (round-5 review). The leading run of equal time_ms IS the
+        # first group; keep everything after it, falling back to the
+        # old behavior when that would drop every record.
+        if not self.epochs:
             return 0.0
+        t0 = self.epochs[0].time_ms
+        i = 0
+        while i < len(self.epochs) and self.epochs[i].time_ms == t0:
+            i += 1
+        timed = self.epochs[i:]
+        if not timed:
+            timed = (self.epochs[1:] if len(self.epochs) > 1
+                     else self.epochs)
         return sum(e.time_ms for e in timed) / len(timed)
 
     def to_json(self) -> str:

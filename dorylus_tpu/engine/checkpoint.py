@@ -33,7 +33,11 @@ def save_checkpoint(ckpt_dir: str | Path, step: int, params: dict,
     d = Path(ckpt_dir)
     d.mkdir(parents=True, exist_ok=True)
     path = d / f"ckpt_{step:08d}.npz"
-    tmp = path.with_suffix(".tmp.npz")
+    # Dotfile temp name: the latest_checkpoint glob (ckpt_*.npz) must
+    # never match a partially-written file — the old ckpt_N.tmp.npz name
+    # matched AND sorted after complete checkpoints, so a crash mid-write
+    # made resume load a truncated npz (round-5 review).
+    tmp = d / f".ckpt_{step:08d}.npz.tmp"
 
     arrays: dict[str, np.ndarray] = {}
     for name, w in _to_host(params).items():
@@ -52,7 +56,11 @@ def save_checkpoint(ckpt_dir: str | Path, step: int, params: dict,
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     tmp.rename(path)  # atomic publish
-    (d / "LATEST").write_text(path.name)
+    # LATEST published atomically too: a crash mid-write_text left an
+    # empty marker that resolved to the DIRECTORY and broke resume.
+    ltmp = d / ".LATEST.tmp"
+    ltmp.write_text(path.name)
+    ltmp.rename(d / "LATEST")
     return path
 
 
@@ -60,10 +68,13 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:
     d = Path(ckpt_dir)
     marker = d / "LATEST"
     if marker.exists():
-        p = d / marker.read_text().strip()
-        if p.exists():
-            return p
-    cands = sorted(d.glob("ckpt_*.npz"))
+        name = marker.read_text().strip()
+        if name:  # empty marker would resolve to the directory itself
+            p = d / name
+            if p.is_file():
+                return p
+    cands = sorted(p for p in d.glob("ckpt_*.npz")
+                   if not p.name.endswith(".tmp.npz"))  # pre-fix leftovers
     return cands[-1] if cands else None
 
 

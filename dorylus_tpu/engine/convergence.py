@@ -31,9 +31,11 @@ class ConvergeState(enum.IntEnum):
 class ConvergeMonitor:
     """Tracks the converge state across epochs.
 
-    target_acc None disables the machine entirely (state stays EARLY and
-    training runs the full epoch budget), matching the reference's
-    targetAcc=0 default where tryEarlyStop never upgrades.
+    target_acc None OR 0 disables the machine entirely (state stays
+    EARLY and training runs the full epoch budget), matching the
+    reference's targetAcc=0 default where tryEarlyStop never upgrades —
+    a user porting `--t 0` from run-onnode must not get an instant stop
+    at the first eval (round-5 review).
     """
 
     def __init__(self, target_acc: Optional[float],
@@ -45,7 +47,7 @@ class ConvergeMonitor:
     def update(self, accuracy: Optional[float]) -> ConvergeState:
         """Feed a validation accuracy (None = no eval this epoch); returns
         the (possibly upgraded) state. Monotone non-decreasing."""
-        if self.target_acc is None or accuracy is None:
+        if not self.target_acc or accuracy is None:  # None or 0 = off
             return self.state
         if accuracy >= self.target_acc:
             self.state = ConvergeState.DONE

@@ -120,7 +120,15 @@ def synthetic_graph(
 ) -> Graph:
     """Random graph with (optionally) planted class structure so that
     training has signal; used for tests/benchmarks when the real datasets
-    aren't on disk (analog of miscs/generate-dataset)."""
+    aren't on disk (analog of miscs/generate-dataset).
+
+    DENSITY NOTE: avg_degree counts the DIRECTED edges generated before
+    make_undirected doubles them — the finished graph has ~2*avg_degree
+    in-degree. clustered_synthetic_graph pre-halves instead (its finished
+    in-degree ~= avg_degree), so cross-generator comparisons at the same
+    parameter compare ~2x different densities. Kept as-is deliberately:
+    halving here would silently change every committed golden fixture,
+    plan shape and benchmark graph built on this generator."""
     rng = np.random.default_rng(seed)
     v = num_vertices
     e = num_vertices * avg_degree

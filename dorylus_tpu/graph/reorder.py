@@ -19,7 +19,7 @@ import numpy as np
 from dorylus_tpu.graph.graph import Graph
 
 
-def bfs_order(g: Graph, seed: int = 0) -> np.ndarray:
+def bfs_order(g: Graph) -> np.ndarray:
     """Cuthill-McKee-like BFS ordering: order[new_id] = old_id.
 
     Queue-discipline BFS from a lowest-degree root: each frontier is
@@ -104,8 +104,8 @@ def apply_order(g: Graph, order: np.ndarray) -> Graph:
         num_vertices=v,
         src=inv[g.src].astype(np.int32),
         dst=inv[g.dst].astype(np.int32),
-        features=g.features[order],
-        labels=g.labels[order],
+        features=None if g.features is None else g.features[order],
+        labels=None if g.labels is None else g.labels[order],
         num_classes=g.num_classes,
     )
     out.split_ids = old_split[order]

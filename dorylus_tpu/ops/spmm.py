@@ -78,7 +78,7 @@ def spmm_edgewise(
 
 def build_dst_blocks(src: "np.ndarray", dst: "np.ndarray",
                      val: "np.ndarray", num_out: int,
-                     block_rows: int = 131072) -> dict:
+                     block_rows: int = 131072) -> tuple[dict, int]:
     """Host-side: slice dst-sorted edges into static per-dst-block ranges.
 
     XLA's segment_sum collapses ~12x once its (V, F) output exceeds VMEM
