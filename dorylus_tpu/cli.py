@@ -200,6 +200,7 @@ def cmd_train(args) -> int:
     log("dataset: %d vertices, %d edges, %d classes; layers %s; model %s",
         g.num_vertices, g.num_edges, g.num_classes, layers.dims, cfg.model)
 
+    order = None
     if args.reorder != "none":
         from dorylus_tpu.graph import reorder as _ro
         order = (_ro.bfs_order(g) if args.reorder == "bfs"
@@ -212,6 +213,12 @@ def cmd_train(args) -> int:
     if args.parts_file:
         from dorylus_tpu.graph.dataio import read_parts_file
         parts = read_parts_file(args.parts_file)
+        if order is not None:
+            # The parts file was computed against ORIGINAL vertex ids;
+            # after --reorder, partition_graph indexes parts by the NEW
+            # ids — without this remap the METIS/LDG edge-cut the user
+            # paid for silently became random placement (round-5 review).
+            parts = parts[order]
 
     if args.shards > 1 or args.feat_shards > 1:
         from dorylus_tpu.parallel.train_step import ShardedEngine
@@ -283,8 +290,7 @@ def cmd_prepare(args) -> int:
 def cmd_partition(args) -> int:
     import numpy as np
 
-    from dorylus_tpu.graph.dataio import (load_dataset, read_graph_bsnap,
-                                          write_parts_file)
+    from dorylus_tpu.graph.dataio import read_graph_bsnap, write_parts_file
     from dorylus_tpu.graph.partition import assign_partitions
     from dorylus_tpu.graph.graph import Graph
 
@@ -299,8 +305,15 @@ def cmd_partition(args) -> int:
 
 def cmd_bench(args) -> int:
     import runpy
-    sys.argv = ["bench.py"]
-    runpy.run_path("bench.py", run_name="__main__")
+    from pathlib import Path
+
+    # Resolve against the repo root, not the caller's CWD.
+    bench = Path(__file__).resolve().parent.parent / "bench.py"
+    if not bench.exists():
+        print(f"bench.py not found at {bench}", file=sys.stderr)
+        return 1
+    sys.argv = [str(bench)]
+    runpy.run_path(str(bench), run_name="__main__")
     return 0
 
 

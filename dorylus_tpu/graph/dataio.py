@@ -51,10 +51,22 @@ def read_graph_bsnap(path: str | Path) -> tuple[np.ndarray, np.ndarray, int]:
     with open(path, "rb") as f:
         size_of_vtx, num_v, num_e = _GRAPH_HDR.unpack(f.read(_GRAPH_HDR.size))
     assert size_of_vtx == 4, f"unsupported vertex width {size_of_vtx}"
+    # The uint32 format allows ids the int32 pipeline cannot represent;
+    # a silent wrap to negative would corrupt the native counting sorts
+    # downstream (same guard as the text parser, round-5 review).
+    if num_v >= 2**31:
+        raise ValueError(
+            f"{path}: num_vertices {num_v} exceeds the int32 vertex-id "
+            "range this pipeline uses")
     pairs = np.memmap(path, dtype="<u4", mode="r", offset=_GRAPH_HDR.size,
                       shape=(num_e, 2))
-    return (pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32),
-            int(num_v))
+    src = pairs[:, 0].astype(np.int32)
+    dst = pairs[:, 1].astype(np.int32)
+    if len(src) and (int(pairs.max()) >= num_v or src.min() < 0
+                     or dst.min() < 0):
+        raise ValueError(
+            f"{path}: edge endpoint ids out of range [0, {num_v})")
+    return src, dst, int(num_v)
 
 
 def write_features_bsnap(path: str | Path, feats: np.ndarray) -> None:
@@ -171,10 +183,21 @@ def prepare_from_text(edge_file: str | Path, features_file: str | Path,
                       undirected: bool = True) -> Graph:
     """The inputs/prepare pipeline: text -> binary dataset dir."""
     src, dst = read_text_edges(edge_file)
+    if len(src) == 0:
+        raise ValueError(
+            f"no edges parsed from {edge_file} — every line was a "
+            "comment, a self loop, or malformed (see the parser's drop "
+            "rules in _read_text_edges_py)")
     num_v = int(max(src.max(), dst.max())) + 1
     feats = np.loadtxt(features_file, dtype=np.float32, delimiter=None)
     feats = feats.reshape(-1, feature_dim)
     labels = np.loadtxt(labels_file, dtype=np.int64).astype(np.int32).reshape(-1)
+    # Coverage validation at PREPARE time — load_dataset asserts this on
+    # read, but by then the corrupt dataset is already on disk.
+    if feats.shape[0] < num_v or labels.shape[0] < num_v:
+        raise ValueError(
+            f"features/labels cover {feats.shape[0]}/{labels.shape[0]} "
+            f"vertices but the edge list implies num_v={num_v}")
     g = Graph(num_vertices=num_v, src=src, dst=dst, features=feats[:num_v],
               labels=labels[:num_v], num_classes=label_kinds)
     if undirected:

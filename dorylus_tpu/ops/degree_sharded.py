@@ -29,7 +29,13 @@ from dorylus_tpu.ops.degree_spmm import (build_degree_plan, degree_spmm_apply,
 
 
 def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
-    """Pad each plan's block rows to the cross-shard max and stack."""
+    """Pad each plan's block rows to the cross-shard max and stack.
+
+    Blocked-output maps (out_idx/out_loc, present when num_out is past
+    the segment_sum VMEM cliff) pad their data-dependent row dim to the
+    cross-shard max with DEAD part rows (padded rows carry live_cnt 0 /
+    zero vals, so gathering them adds zeros) aimed at the block's last
+    output slot."""
     rmax = max(p["slot_src"].shape[0] for p in plans)
     keys = ["slot_src", "slot_to_edge", "block_row", "edge_to_slot",
             "live_cnt"]
@@ -48,9 +54,19 @@ def _stack_uniform(plans: list[dict], num_out: int, sentinel: int) -> dict:
         # the inverse map stay valid unchanged (uniform length = ep).
         out["edge_to_slot"].append(p["edge_to_slot"])
         out["live_cnt"].append(np.pad(p["live_cnt"], (0, pad)))
+        if "out_idx" in p:
+            rbm = max(q["out_idx"].shape[1] for q in plans)
+            obr = p.pop("_out_block_rows")
+            cpad = rbm - p["out_idx"].shape[1]
+            out.setdefault("out_idx", []).append(np.pad(
+                p["out_idx"], ((0, 0), (0, cpad)),
+                constant_values=rmax))  # the runtime zero row
+            out.setdefault("out_loc", []).append(np.pad(
+                p["out_loc"], ((0, 0), (0, cpad)),
+                constant_values=obr - 1))
         if "vals" in out:
             out["vals"].append(np.pad(p["vals"], ((0, pad), (0, 0))))
-    return {k: np.stack(v) for k, v in out.items()}
+    return {k: np.stack(v) for k, v in out.items() if v}
 
 
 class ShardedDegreeSpMM:
@@ -61,7 +77,8 @@ class ShardedDegreeSpMM:
     def __init__(self, sharded: ShardedGraph, block: int = 16,
                  row_chunk: int = 0, gather_dtype=None,
                  feature_dim: int = 128, static_vals: bool = False,
-                 edges: str = "combined"):
+                 edges: str = "combined",
+                 out_block_rows: int | None = None):
         """static_vals: bake each shard's edge values (GCN norms; pads 0)
         into the plans so apply_static() skips the runtime value gather.
 
@@ -92,6 +109,16 @@ class ShardedDegreeSpMM:
         assert all(len(shard_edges(s)[0]) == ep for s in sharded.shards), \
             "shards must share a padded edge count"
 
+        # Output blocking past the segment_sum VMEM cliff, per DIRECTION:
+        # the bwd plan reduces onto the (vp + n*max_h)-row table, which
+        # crosses the cliff well before per-shard vp does (the round-4
+        # hardcoded 0 silently re-paid the measured ~12x collapse at
+        # friendster-scale V with --kernel degree; round-5 review).
+        from dorylus_tpu.ops.degree_spmm import _OUT_BLOCK_AUTO_V
+        obr = out_block_rows or 131072  # override is for tests
+        fwd_obr = obr if vp > _OUT_BLOCK_AUTO_V else 0
+        bwd_obr = obr if table > _OUT_BLOCK_AUTO_V else 0
+
         fwd_plans, bwd_plans = [], []
         for s in sharded.shards:
             src_a, dst_a, val_a, nreal = shard_edges(s)
@@ -103,11 +130,12 @@ class ShardedDegreeSpMM:
             # in slots where their zero weight silences them.
             of = np.argsort(dst, kind="stable")
             fwd_plans.append(build_degree_plan(src[of], dst[of], of, vp,
-                                               block, out_block_rows=0))
+                                               block,
+                                               out_block_rows=fwd_obr))
             ob = np.argsort(src, kind="stable")
             bwd_plans.append(build_degree_plan(dst[ob], src[ob], ob,
                                                table, block,
-                                               out_block_rows=0))
+                                               out_block_rows=bwd_obr))
             # Slot liveness for the dst-functional path (apply_dst):
             # padding EDGES carry runtime val 0 in the per-edge path, but
             # apply_dst derives weights from dst_val[dst] — so dead edges
@@ -150,8 +178,7 @@ class ShardedDegreeSpMM:
         }
         self.static = (table, vp, row_chunk,
                        None if gather_dtype is None else np.dtype(gather_dtype),
-                       0, 0,  # per-shard vp stays under the large-V cliff
-                       ep)
+                       fwd_obr, bwd_obr, ep)
 
     def apply(self, arrays: dict, h, val):
         return degree_spmm_apply(self.static, arrays, h, val)

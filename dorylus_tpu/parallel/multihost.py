@@ -45,10 +45,18 @@ def init_multihost(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
         return
+    import os
     try:
         jax.distributed.initialize()  # auto-detect (TPU pod metadata)
     except (ValueError, RuntimeError):
-        # Single-host environments without cluster metadata.
+        # Single-host environments without cluster metadata fall back
+        # quietly — but when the environment SAYS this is a cluster, a
+        # bring-up failure must not silently degrade to single-process
+        # (each host would train independently; round-5 review).
+        if any(os.environ.get(k) for k in
+               ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")):
+            raise
         pass
 
 
