@@ -20,15 +20,28 @@ def onehot_labels(labels: np.ndarray, num_classes: int) -> np.ndarray:
     return out
 
 
-def build_batch(g: Graph, for_gat: bool = False) -> GraphBatch:
-    """Single-shard batch: the whole graph on one device."""
+def build_batch(g: Graph, for_gat: bool = False,
+                edge_arrays: bool = True) -> GraphBatch:
+    """Single-shard batch: the whole graph on one device.
+
+    edge_arrays=False ships zero-length src/dst/edge_val stubs: the
+    production kernel paths (GCN apply_static, GAT apply_dst/apply_unit)
+    read only their plan arrays at runtime, so the E-sized COO triple is
+    dead device memory (~1.2 GB at the 100M-edge capacity point) that
+    also inflates padded_nbytes and shrinks the fitted msgs chunk guard
+    (same idiom as the sharded fused path's (n, 0) split stubs)."""
     train_m, val_m, test_m = g.masks()
-    edge_val = np.ones(g.num_edges, np.float32) if for_gat else g.edge_norm
+    if edge_arrays:
+        edge_val = np.ones(g.num_edges, np.float32) if for_gat else g.edge_norm
+        src, dst = g.src, g.dst
+    else:
+        src = dst = np.zeros(0, np.int32)
+        edge_val = np.zeros(0, np.float32)
     return GraphBatch(
         x=jnp.asarray(g.features),
         onehot=jnp.asarray(onehot_labels(g.labels, g.num_classes)),
-        src=jnp.asarray(g.src),
-        dst=jnp.asarray(g.dst),
+        src=jnp.asarray(src),
+        dst=jnp.asarray(dst),
         edge_val=jnp.asarray(edge_val),
         self_val=jnp.asarray(g.self_norm),
         train_mask=jnp.asarray(train_m.astype(np.float32)),

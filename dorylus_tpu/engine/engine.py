@@ -173,10 +173,13 @@ def resolve_reuse_budget(cfg: TrainConfig, base_rows: int,
 AUTO_GROUP_CAP = 25
 # Additional auto cap by scale: a single compiled call running tens of
 # seconds deterministically crashes the remote TPU worker (watchdog —
-# CLAUDE.md; friendster-config 25-epoch groups crash, 5-epoch groups
-# stable at ~2-4 s/epoch). k*edges <= this keeps calls under ~5 s at the
-# ~100 M edges/s large-graph epoch rates.
-AUTO_GROUP_EDGE_BUDGET = 300_000_000
+# CLAUDE.md; friendster-config 25-epoch groups [~50-100 s] crash, 5-epoch
+# groups [~10-20 s] stable). Measured giant-config epoch rates are
+# ~9-19 M edges/s (amazon 27.2M E / 3.11 s, reddit-large 21.5M E /
+# 1.11 s, friendster-config 37M E / 2-4 s — benchmarks/results/*_r5),
+# NOT the small-graph ~70 M e/s: k*edges <= 120M keeps calls ~<=12 s at
+# 10 M e/s, with margin under the ~20 s stable evidence.
+AUTO_GROUP_EDGE_BUDGET = 120_000_000
 
 
 def group_len(epoch: int, end: int, cfg: TrainConfig,
@@ -203,7 +206,7 @@ def group_len(epoch: int, end: int, cfg: TrainConfig,
         ep = epoch + k - 1
         if ep == end - 1:
             break
-        if (cfg.target_accuracy is not None and cfg.eval_every
+        if (cfg.target_accuracy and cfg.eval_every
                 and ep % cfg.eval_every == 0):
             break
         if (cfg.checkpoint_dir and cfg.checkpoint_every
@@ -223,6 +226,114 @@ def eval_flags(epoch: int, k: int, end: int, cfg: TrainConfig) -> np.ndarray:
     if not cfg.eval_every:
         return np.zeros(k, bool)
     return (eps % cfg.eval_every == 0) | (eps == end - 1)
+
+
+def run_group_loop(eng, epochs: int, dispatch, num_edges: int,
+                   make_stack, final_eval, n_chips: int = 1) -> "RunReport":
+    """Shared group-scan training driver for Engine and ShardedEngine
+    (the Engine::run + pipeline scheduler analog, engine.cpp:223 /
+    pipeline.cpp:6): group sizing, LR schedule, in-scan eval flags,
+    per-epoch reporting (WS-master lines, weightserver.cpp:258-262),
+    checkpointing, the converge state machine (weightserver.cpp:270-294),
+    and the final metrics/cost block.
+
+    The engines differ only in how a compiled group is dispatched and how
+    params are evaluated, so those come in as callables:
+      dispatch(mode, stale_on, params, opt_state, history, lrs, flags)
+          -> (params, opt_state, history, loss_arr, stats_arr)
+      make_stack(params, s) -> (s+1)-stacked weight history pytree
+      final_eval(params) -> (val_accuracy, test_accuracy)
+    """
+    from dorylus_tpu.engine.convergence import ConvergeMonitor
+    from dorylus_tpu.optim.adam import decay_lr
+
+    cfg = eng.cfg
+    eng.report.notes["kernel"] = eng.kernel_selected
+    t_run = time.perf_counter()
+
+    # Staleness window: history[0] is the (up to S epochs) stale weight
+    # version gradients are computed against; sync mode keeps S=0 and
+    # ships nothing (None history -> the no-history compiled variants).
+    stale = cfg.staleness or 0
+    history = make_stack(eng.params, stale) if stale else None
+    monitor = ConvergeMonitor(cfg.target_accuracy, cfg.switch_threshold)
+
+    # Resume continues the ORIGINAL epoch numbering: LR schedule and
+    # checkpoint steps pick up where the prior run left off. Between
+    # eval/checkpoint boundaries, synchronous epochs run as ONE compiled
+    # lax.scan call (group_len) — dispatch/tunnel roundtrips amortize.
+    epoch = eng.start_epoch
+    end = eng.start_epoch + epochs
+    first_k = group_len(epoch, end, cfg, num_edges)
+    if first_k > 1:
+        log("first %d-epoch group includes compilation — per-epoch "
+            "times are warm from the second run on", first_k)
+    while epoch < end:
+        k = group_len(epoch, end, cfg, num_edges)
+        t0 = time.perf_counter()
+        lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
+                         cfg.lr_decay_factor)
+                if cfg.lr_decay_every else cfg.learning_rate)
+               for ep in range(epoch, epoch + k)]
+        flags = eval_flags(epoch, k, end, cfg)
+        mode = "all" if flags.all() else ("none" if not flags.any()
+                                          else "mixed")
+        (eng.params, eng.opt_state, history, loss_arr,
+         stats) = dispatch(mode, stale > 0, eng.params, eng.opt_state,
+                           history, lrs, flags)
+        # float()/np.asarray force a host transfer — the only reliable
+        # sync on remote backends (block_until_ready returns early).
+        losses = [float(x) for x in np.asarray(loss_arr)]
+        stats = np.asarray(stats)  # (k, 3): correct, loss_sum, count
+        dt_ms = 1e3 * (time.perf_counter() - t0) / k
+        last_ep = epoch + k - 1
+        acc = None
+        for i, loss_f in enumerate(losses):
+            ep_acc = ep_vloss = None
+            if flags[i]:
+                ep_acc = float(stats[i, 0]) / max(1.0, float(stats[i, 2]))
+                ep_vloss = float(stats[i, 1]) / max(1.0, float(stats[i, 2]))
+                acc = ep_acc
+                # Per-epoch line like the WS master (weightserver.cpp:258-262).
+                log("Epoch %d: %.2f ms, train loss %.4f, val acc %.4f, "
+                    "val loss %.4f", epoch + i, dt_ms, loss_f, ep_acc,
+                    ep_vloss)
+            eng.report.add_epoch(EpochRecord(
+                epoch + i, dt_ms, loss=loss_f, accuracy=ep_acc))
+        eng._maybe_checkpoint(last_ep)
+        # Converge state machine (weightserver.cpp:270-294): EARLY ->
+        # CLOSE drains the async window (async->sync switch), DONE stops.
+        # With target_accuracy set, group_len breaks at eval boundaries,
+        # so the group's last accuracy is inspected promptly.
+        was_sync = monitor.synchronous
+        monitor.update(acc)
+        if monitor.synchronous and not was_sync and stale:
+            log("Converge state CLOSE at epoch %d — switching to sync.",
+                last_ep)
+        if monitor.synchronous and stale:
+            # Drain the async window: future gradients use the latest
+            # params (drops to the no-history variants; one recompile).
+            stale = 0
+            history = None
+        if monitor.done:
+            log("Target accuracy %.3f reached at epoch %d — stopping.",
+                cfg.target_accuracy, last_ep)
+            break
+        epoch += k
+
+    eng.report.notes["converge_state"] = monitor.state.name
+    eng.report.total_time_s = time.perf_counter() - t_run
+    # Final metrics (Engine::output analog) + chip-second cost accounting
+    # (calculate-price.py analog).
+    from dorylus_tpu.engine.profiling import report_cost, report_memory
+    eng.report.notes["cost"] = report_cost(eng.report.total_time_s,
+                                           n_chips=n_chips)
+    mem = report_memory()
+    if mem:
+        eng.report.notes["hbm"] = mem
+    eng.report.final_accuracy, eng.report.test_accuracy = final_eval(
+        eng.params)
+    return eng.report
 
 
 class Engine:
@@ -350,7 +461,15 @@ class Engine:
                       if cfg.model == "gcn"
                       else GAT(layers, edge_chunk=cfg.edge_chunk,
                                spmm_op=spmm_op, blk_rows=blk_rows))
-        self.batch = build_batch(graph, for_gat=cfg.model == "gat")
+        # The production kernel paths never read the E-sized COO triple
+        # at runtime (GCN: static plan vals; GAT: dst-functional) — skip
+        # uploading it. profile() rebuilds a full batch on demand.
+        self._edge_arrays_stubbed = (
+            spmm_op is not None
+            and (spmm_op.has_static_vals if cfg.model == "gcn"
+                 else hasattr(spmm_op, "apply_dst")))
+        self.batch = build_batch(graph, for_gat=cfg.model == "gat",
+                                 edge_arrays=not self._edge_arrays_stubbed)
         if aux is not None:
             # Aux arrays ride the batch pytree into jit as arguments —
             # never as closure constants (they are megabytes of metadata).
@@ -502,117 +621,41 @@ class Engine:
         if self._compiled is None:
             self._compiled = self._make_step()
         multis, evaluate = self._compiled
-        cfg = self.cfg
-        self.report.notes["kernel"] = self.kernel_selected
-        t_run = time.perf_counter()
 
-        # Staleness window: history[0] is the (up to S epochs) stale weight
-        # version gradients are computed against; sync mode keeps S=0.
-        # The stack rides the compiled scan (see _make_step); the converge
-        # machine's async->sync switch drops to an S=0 stack (one extra
-        # compile at the new shape).
-        stale = cfg.staleness or 0
-
+        # Staleness history: the (S+1)-stack rides the compiled scan (see
+        # _make_step); sync (S=0) ships None — the no-history variants.
         def make_stack(params, s):
             return jax.tree.map(
                 lambda x: jnp.tile(x[None], (s + 1,) + (1,) * x.ndim), params)
 
-        # Synchronous (stale=0) runs the no-history variants — None is an
-        # empty pytree, so nothing ships to the device for it.
-        history = make_stack(self.params, stale) if stale else None
+        def dispatch(mode, stale_on, params, opt_state, history, lrs, flags):
+            return multis[mode, stale_on](params, opt_state, history,
+                                          self.batch,
+                                          jnp.asarray(lrs, jnp.float32),
+                                          jnp.asarray(flags))
 
-        from dorylus_tpu.engine.convergence import ConvergeMonitor
-        from dorylus_tpu.optim.adam import decay_lr
+        def final_eval(params):
+            c, _, n = evaluate(params, self.batch, self.batch.val_mask)
+            val = float(c) / max(1.0, float(n))
+            c, _, n = evaluate(params, self.batch, self.batch.test_mask)
+            return val, float(c) / max(1.0, float(n))
 
-        monitor = ConvergeMonitor(cfg.target_accuracy, cfg.switch_threshold)
-
-        # Resume continues the ORIGINAL epoch numbering: LR schedule and
-        # checkpoint steps pick up where the prior run left off instead of
-        # restarting at epoch 0 (and silently overwriting old checkpoints).
-        # Between eval/checkpoint boundaries, synchronous epochs run as ONE
-        # compiled lax.scan call (group_len) — dispatch/tunnel roundtrips
-        # amortize across the group.
-        epoch = self.start_epoch
-        end = self.start_epoch + epochs
-        first_k = group_len(self.start_epoch, end, cfg,
-                            self.graph.num_edges)
-        if first_k > 1:
-            log("first %d-epoch group includes compilation — per-epoch "
-                "times are warm from the second run on", first_k)
-        while epoch < end:
-            k = group_len(epoch, end, cfg, self.graph.num_edges)
-            t0 = time.perf_counter()
-            lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
-                             cfg.lr_decay_factor)
-                    if cfg.lr_decay_every else cfg.learning_rate)
-                   for ep in range(epoch, epoch + k)]
-            flags = eval_flags(epoch, k, end, cfg)
-            mode = "all" if flags.all() else ("none" if not flags.any()
-                                              else "mixed")
-            self.params, self.opt_state, history, loss_arr, stats = multis[
-                mode, stale > 0](self.params, self.opt_state, history,
-                                 self.batch, jnp.asarray(lrs, jnp.float32),
-                                 jnp.asarray(flags))
-            # float()/np.asarray force a host transfer — the only reliable
-            # sync on remote backends (block_until_ready returns early).
-            losses = [float(x) for x in np.asarray(loss_arr)]
-            stats = np.asarray(stats)  # (k, 3): correct, loss_sum, count
-            dt_ms = 1e3 * (time.perf_counter() - t0) / k
-            last_ep = epoch + k - 1
-            acc = None
-            for i, loss_f in enumerate(losses):
-                ep_acc = ep_vloss = None
-                if flags[i]:
-                    ep_acc = float(stats[i, 0]) / max(1.0, float(stats[i, 2]))
-                    ep_vloss = float(stats[i, 1]) / max(1.0, float(stats[i, 2]))
-                    acc = ep_acc
-                    # Per-epoch line like the WS master (weightserver.cpp:258-262).
-                    log("Epoch %d: %.2f ms, train loss %.4f, val acc %.4f, "
-                        "val loss %.4f", epoch + i, dt_ms, loss_f, ep_acc,
-                        ep_vloss)
-                self.report.add_epoch(EpochRecord(
-                    epoch + i, dt_ms, loss=loss_f, accuracy=ep_acc))
-            self._maybe_checkpoint(last_ep)
-            # Converge state machine (weightserver.cpp:270-294): EARLY ->
-            # CLOSE drains the async window (async->sync switch), DONE stops.
-            # With target_accuracy set, group_len breaks at eval boundaries,
-            # so the group's last accuracy is inspected promptly.
-            was_sync = monitor.synchronous
-            monitor.update(acc)
-            if monitor.synchronous and not was_sync and stale:
-                log("Converge state CLOSE at epoch %d — switching to sync.",
-                    last_ep)
-            if monitor.synchronous and stale:
-                # Drain the async window: future gradients use the latest
-                # params (drops to the no-history variants; one recompile).
-                stale = 0
-                history = None
-            if monitor.done:
-                log("Target accuracy %.3f reached at epoch %d — stopping.",
-                    cfg.target_accuracy, last_ep)
-                break
-            epoch += k
-
-        self.report.notes["converge_state"] = monitor.state.name
-        self.report.total_time_s = time.perf_counter() - t_run
-        # Final metrics (Engine::output analog) + chip-second cost
-        # accounting (calculate-price.py analog).
-        from dorylus_tpu.engine.profiling import report_cost, report_memory
-        self.report.notes["cost"] = report_cost(self.report.total_time_s)
-        mem = report_memory()
-        if mem:
-            self.report.notes["hbm"] = mem
-        correct, _, count = evaluate(self.params, self.batch, self.batch.val_mask)
-        self.report.final_accuracy = float(correct) / max(1.0, float(count))
-        correct, _, count = evaluate(self.params, self.batch, self.batch.test_mask)
-        self.report.test_accuracy = float(correct) / max(1.0, float(count))
-        return self.report
+        return run_group_loop(self, epochs, dispatch, self.graph.num_edges,
+                              make_stack, final_eval)
 
     def profile(self, iters: int = 5) -> dict:
         """Per-stage timing report (engine/utils.cpp:139-291 analog);
         results also land in report.stage_times."""
         from dorylus_tpu.engine.profiling import profile_stages
-        times = profile_stages(self.model, self.params, self.batch, iters=iters)
+        batch = self.batch
+        if getattr(self, "_edge_arrays_stubbed", False):
+            # The training batch ships COO stubs (see __init__); the
+            # profiler's edgewise brackets need the real arrays.
+            from dorylus_tpu.engine.batch import build_batch
+            batch = build_batch(self.graph,
+                                for_gat=self.cfg.model == "gat"
+                                )._replace(aux=self.batch.aux)
+        times = profile_stages(self.model, self.params, batch, iters=iters)
         self.report.stage_times = {
             k: {"total_s": v / 1e3 * iters, "count": iters, "avg_ms": v}
             for k, v in times.items()

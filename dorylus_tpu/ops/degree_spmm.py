@@ -453,6 +453,13 @@ class DegreeSpMM:
             ve = np.r_[np.asarray(static_val, np.float32), 0.0]
             fwd["vals"] = ve[fwd["slot_to_edge"]]
             bwd["vals"] = ve[bwd["slot_to_edge"]]
+            if narrow:
+                # Narrow mode multiplies slot weights in the msgs dtype
+                # anyway (_degree_pass reduce_rows): ship them pre-cast
+                # and halve their HBM — one host-side rounding instead of
+                # a per-pass (R, B) convert (same idiom as hyb _cast_vals).
+                fwd["vals"] = fwd["vals"].astype(gather_dtype)
+                bwd["vals"] = bwd["vals"].astype(gather_dtype)
         if row_chunk == 0:
             # XLA materializes the (slots, F) message tensor at scale
             # (measured: f32 compile OOM at 13 GB for V=1.6M E=24M F=128,

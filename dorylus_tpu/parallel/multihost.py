@@ -53,9 +53,16 @@ def init_multihost(coordinator_address: Optional[str] = None,
         # quietly — but when the environment SAYS this is a cluster, a
         # bring-up failure must not silently degrade to single-process
         # (each host would train independently; round-5 review).
-        if any(os.environ.get(k) for k in
-               ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")):
+        claimed = any(os.environ.get(k) for k in
+                      ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                       "MEGASCALE_COORDINATOR_ADDRESS"))
+        # TPU_WORKER_HOSTNAMES claims a cluster only when it lists MORE
+        # than one host: single-host TPU runtimes (incl. the axon tunnel)
+        # set it to one hostname, which is exactly the fall-back case.
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+            claimed = True
+        if claimed:
             raise
         pass
 

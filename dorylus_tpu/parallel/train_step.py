@@ -17,7 +17,6 @@ the same way the reference overlaps scatter with Lambda compute.
 
 from __future__ import annotations
 
-import time
 from functools import partial
 from typing import Optional
 
@@ -29,7 +28,7 @@ from jax import shard_map
 
 from dorylus_tpu.common.config import LayerConfig, TrainConfig
 from dorylus_tpu.common.logging import log
-from dorylus_tpu.common.metrics import EpochRecord, RunReport
+from dorylus_tpu.common.metrics import RunReport
 from dorylus_tpu.graph.graph import Graph
 from dorylus_tpu.graph.partition import ShardedGraph, partition_graph
 from dorylus_tpu.models.base import GraphBatch
@@ -443,6 +442,14 @@ class ShardedEngine:
                         Op(self.sharded, edges="boundary", **kw))
                     stacked["spmm_int"] = spmm_split[0].arrays
                     stacked["spmm_bnd"] = spmm_split[1].arrays
+                    # As on the fused branch: the models' split path reads
+                    # only aux["spmm_int"/"spmm_bnd"] (GCN apply_static,
+                    # GAT apply_dst); batch.src_int merely signals the
+                    # ghost-rows-only halo — stub the six E-sized split
+                    # arrays instead of shipping ~24 B/edge/shard dead.
+                    for k in ("src_int", "dst_int", "val_int",
+                              "src_bnd", "dst_bnd", "val_bnd"):
+                        stacked[k] = np.zeros((n, 0), stacked[k].dtype)
             else:
                 spmm_op = Op(self.sharded, **kw)
                 stacked["spmm"] = spmm_op.arrays
@@ -514,17 +521,12 @@ class ShardedEngine:
             self._compiled = build_sharded_train_step(
                 self.model, self.cfg, self.mesh, self.sharded.denom)
         step, evaluate, _, multis = self._compiled
-        cfg = self.cfg
-        self.report.notes["kernel"] = self.kernel_selected
-        t_run = time.perf_counter()
+        from dorylus_tpu.engine.engine import run_group_loop
 
-        from dorylus_tpu.engine.convergence import ConvergeMonitor
-        from dorylus_tpu.optim.adam import decay_lr
-
-        # Same bounded-staleness window as Engine.run (grad_params up to S
-        # epochs old, stacked on the scan carry); same resume-continues-
-        # epoch-numbering semantics.
-        stale = cfg.staleness or 0
+        # Same bounded-staleness window as Engine (grad_params up to S
+        # epochs old, stacked on the scan carry) — the stack replicates
+        # across the mesh. Group sizing (engine.group_len) matters even
+        # more here: per-call dispatch moves every sharded plan buffer.
         rep = NamedSharding(self.mesh, P())
 
         def make_stack(params, s):
@@ -532,83 +534,21 @@ class ShardedEngine:
                 lambda x: jnp.tile(x[None], (s + 1,) + (1,) * x.ndim),
                 params), rep)
 
-        # Synchronous (stale=0) runs the no-history variants (see
-        # engine.Engine.run) — None is an empty pytree.
-        history = make_stack(self.params, stale) if stale else None
-        monitor = ConvergeMonitor(cfg.target_accuracy, cfg.switch_threshold)
+        def dispatch(mode, stale_on, params, opt_state, history, lrs, flags):
+            return multis[mode, stale_on](params, opt_state, history,
+                                          self.arrs,
+                                          jnp.asarray(lrs, jnp.float32),
+                                          jnp.asarray(flags))
 
-        # Synchronous epochs between eval/checkpoint boundaries run as ONE
-        # compiled lax.scan call (engine.group_len) — per-call dispatch
-        # moves every sharded plan buffer and dominates small steps.
-        from dorylus_tpu.engine.engine import group_len
+        def final_eval(params):
+            s = evaluate(params, self.arrs, "val")
+            val = float(s[0]) / max(1.0, float(s[2]))
+            s = evaluate(params, self.arrs, "test")
+            return val, float(s[0]) / max(1.0, float(s[2]))
 
-        epoch = self.start_epoch
-        end = self.start_epoch + epochs
-        first_k = group_len(self.start_epoch, end, cfg,
-                            self.sharded.ep)
-        if first_k > 1:
-            log("first %d-epoch group includes compilation — per-epoch "
-                "times are warm from the second run on", first_k)
-        from dorylus_tpu.engine.engine import eval_flags
-
-        while epoch < end:
-            k = group_len(epoch, end, cfg, self.sharded.ep)
-            t0 = time.perf_counter()
-            lrs = [(decay_lr(cfg.learning_rate, ep, cfg.lr_decay_every,
-                             cfg.lr_decay_factor)
-                    if cfg.lr_decay_every else cfg.learning_rate)
-                   for ep in range(epoch, epoch + k)]
-            flags = eval_flags(epoch, k, end, cfg)
-            mode = "all" if flags.all() else ("none" if not flags.any()
-                                              else "mixed")
-            (self.params, self.opt_state, history, loss_arr,
-             stats_arr) = multis[mode, stale > 0](
-                self.params, self.opt_state, history, self.arrs,
-                jnp.asarray(lrs, jnp.float32), jnp.asarray(flags))
-            # float()/np.asarray force a host transfer — reliable sync even
-            # on remote backends where block_until_ready returns early.
-            losses = [float(x) for x in np.asarray(loss_arr)]
-            stats_arr = np.asarray(stats_arr)  # (k, 3) psum'd
-            dt_ms = 1e3 * (time.perf_counter() - t0) / k
-            last_ep = epoch + k - 1
-            acc = None
-            for i, loss_f in enumerate(losses):
-                ep_acc = None
-                if flags[i]:
-                    ep_acc = float(stats_arr[i, 0]) / max(
-                        1.0, float(stats_arr[i, 2]))
-                    acc = ep_acc
-                    log("Epoch %d: %.2f ms, loss %.4f, val acc %.4f",
-                        epoch + i, dt_ms, loss_f, ep_acc)
-                self.report.add_epoch(EpochRecord(
-                    epoch + i, dt_ms, loss=loss_f, accuracy=ep_acc))
-            self._maybe_checkpoint(last_ep)
-            was_sync = monitor.synchronous
-            monitor.update(acc)
-            if monitor.synchronous and not was_sync and stale:
-                log("Converge state CLOSE at epoch %d — switching to sync.",
-                    last_ep)
-            if monitor.synchronous and stale:
-                stale = 0
-                history = None
-            if monitor.done:
-                log("Target accuracy reached at epoch %d.", last_ep)
-                break
-            epoch += k
-        self.report.notes["converge_state"] = monitor.state.name
-        self.report.total_time_s = time.perf_counter() - t_run
-        from dorylus_tpu.engine.profiling import report_memory
-        mem = report_memory()
-        if mem:
-            self.report.notes["hbm"] = mem
-        from dorylus_tpu.engine.profiling import report_cost
-        self.report.notes["cost"] = report_cost(
-            self.report.total_time_s, n_chips=self.mesh.size)
-        stats = evaluate(self.params, self.arrs, "val")
-        self.report.final_accuracy = float(stats[0]) / max(1.0, float(stats[2]))
-        stats = evaluate(self.params, self.arrs, "test")
-        self.report.test_accuracy = float(stats[0]) / max(1.0, float(stats[2]))
-        return self.report
+        return run_group_loop(self, epochs, dispatch, self.sharded.ep,
+                              make_stack, final_eval,
+                              n_chips=self.mesh.size)
 
     def profile(self, iters: int = 5) -> dict:
         """Per-stage timing (aggregate / dense / halo exchange / backward),

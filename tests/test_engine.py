@@ -57,10 +57,14 @@ def test_group_len_boundaries():
     assert group_len(0, 20, cfgt) == 1
     assert group_len(1, 20, cfgt) == 5
     assert group_len(6, 20, cfgt) == 5
+    # target_accuracy=0 means DISABLED (reference targetAcc=0 semantics,
+    # matching ConvergeMonitor) — groups engage to the cap, not 1/epoch.
+    cfgt0 = TrainConfig(eval_every=1, target_accuracy=0.0)
+    assert group_len(0, 100, cfgt0) == AUTO_GROUP_CAP
     # Giant graphs cap the auto group by edge budget (remote-worker
     # watchdog guard): k * edges <= AUTO_GROUP_EDGE_BUDGET.
-    assert group_len(0, 100, cfg, num_edges=11_600_000) == AUTO_GROUP_CAP
-    assert group_len(0, 100, cfg, num_edges=37_000_000) == 8
+    assert group_len(0, 100, cfg, num_edges=11_600_000) == 10
+    assert group_len(0, 100, cfg, num_edges=37_000_000) == 3
     assert group_len(0, 100, cfg, num_edges=500_000_000) == 1
     # Explicit epochs_per_call overrides the budget (user knows best).
     assert group_len(0, 100, TrainConfig(epochs_per_call=25),

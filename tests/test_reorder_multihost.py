@@ -37,3 +37,33 @@ def test_multihost_helpers():
     init_multihost()  # single-process no-op
     mesh = global_mesh(2)
     assert mesh.shape["graph"] == 2
+
+
+def test_init_multihost_cluster_guard(monkeypatch):
+    """Auto-init failures fall back quietly on a single host — including
+    when the TPU runtime sets a ONE-hostname TPU_WORKER_HOSTNAMES (the
+    axon tunnel does; r5 regression) — but raise when the environment
+    claims a real cluster (multi-host list or a coordinator address)."""
+    import pytest
+
+    from jax._src import distributed as _dist
+    from dorylus_tpu.parallel.multihost import init_multihost
+    if getattr(_dist.global_state, "client", None) is not None:
+        pytest.skip("distributed client already initialized in-process")
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    init_multihost()  # must NOT raise: one hostname == one host
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    with pytest.raises((ValueError, RuntimeError)):
+        init_multihost()
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "")  # empty = unset-like
+    init_multihost()
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "host0:1234")
+    with pytest.raises((ValueError, RuntimeError)):
+        init_multihost()
