@@ -114,10 +114,14 @@ class ShardedDegreeSpMM:
         # crosses the cliff well before per-shard vp does (the round-4
         # hardcoded 0 silently re-paid the measured ~12x collapse at
         # friendster-scale V with --kernel degree; round-5 review).
+        # (Narrow-mode note: single-op DegreeSpMM measured flat ~6% ahead
+        # of blocked at V=1.6M bf16 and defaults unblocked; here blocking
+        # stays on past the cliff regardless of dtype — the guarded
+        # failure mode is the ~12x collapse, the unguarded upside ~6%.)
         from dorylus_tpu.ops.degree_spmm import _OUT_BLOCK_AUTO_V
-        obr = out_block_rows or 131072  # override is for tests
-        fwd_obr = obr if vp > _OUT_BLOCK_AUTO_V else 0
-        bwd_obr = obr if table > _OUT_BLOCK_AUTO_V else 0
+        obr = 131072 if out_block_rows is None else out_block_rows  # 0=off
+        fwd_obr = obr if (obr and vp > _OUT_BLOCK_AUTO_V) else 0
+        bwd_obr = obr if (obr and table > _OUT_BLOCK_AUTO_V) else 0
 
         fwd_plans, bwd_plans = [], []
         for s in sharded.shards:
@@ -160,6 +164,12 @@ class ShardedDegreeSpMM:
                 p["live_cnt"] = cnt
                 if static_vals:
                     p["vals"] = ve[p["slot_to_edge"]]
+                    if (gather_dtype is not None
+                            and np.dtype(gather_dtype).itemsize < 4):
+                        # Narrow mode multiplies slot weights in the msgs
+                        # dtype anyway — ship pre-cast and halve the
+                        # (n, R, B) vals stack's HBM (DegreeSpMM idiom).
+                        p["vals"] = p["vals"].astype(gather_dtype)
 
         if row_chunk == 0:
             # OOM guard only (~2.4x slower when active) — see DegreeSpMM.

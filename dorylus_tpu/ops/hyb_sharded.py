@@ -61,9 +61,16 @@ def _pad_rows(part: dict, nrows: int, e: int) -> dict:
     """Pad one bucket/top part to nrows dead rows (zero contribution)."""
     r = part["rows"].shape[0]
     pad = nrows - r
-    if pad == 0:
-        return part
+    # ALWAYS copy, even when pad == 0: callers assign padded "v"/"rowv"
+    # into the result, and returning the input dict would alias those
+    # writes back into the source plan — _uniform_plans then reads the
+    # PADDED hub list length when rebuilding inv and writes a dead hub
+    # row into inv[num_out-1], silently zeroing that vertex's output
+    # (hit whenever the shard with the max top chunk-row count has fewer
+    # hubs than the cross-shard max; round-5 review).
     out = dict(part)
+    if pad == 0:
+        return out
     out["rows"] = np.pad(part["rows"], ((0, pad), (0, 0)))
     out["cnt"] = np.pad(part["cnt"], (0, pad))
     if "s2e" in part:  # absent on fused plans (dropped after recount)
@@ -273,16 +280,33 @@ class ShardedHybSpMM:
             # pad edges carry val 0, so plan-baked static values are
             # already inert on dead slots.
             svp = val if static_vals else None
-            fwd_plans.append(build_hyb_plan(
+            pf = build_hyb_plan(
                 src[of], dst[of], of, vp, max_width, lam_slots,
-                static_val=svp, widths=widths))
-            bwd_plans.append(build_hyb_plan(
+                static_val=svp, widths=widths)
+            pb = build_hyb_plan(
                 dst[ob], src[ob], ob, table, max_width, lam_slots,
-                static_val=svp, widths=widths))
-            nreals.append(nreal)
-        for p in fwd_plans + bwd_plans:
-            p.pop("n_slots")
-            p.pop("_n_iso", None)  # uniform stacking always uses inv
+                static_val=svp, widths=widths)
+            for p in (pf, pb):
+                p.pop("n_slots")
+                p.pop("_n_iso", None)  # uniform stacking always uses inv
+                if not dynamic:
+                    # Only the dynamic per-edge path reads the slot->edge
+                    # maps at runtime (see HybSpMM dynamic=False): drop
+                    # them BEFORE _uniform_plans, so the O(E) e2s remap
+                    # and padded (n, R, w) s2e stacking never run — they
+                    # were multiple GB of transient host memory at the
+                    # 1B-edge 32-shard build (the fused builder's idiom;
+                    # round-5 review). Liveness recounts here instead of
+                    # inside _uniform_plans.
+                    p.pop("e2s", None)
+                    _recount_live_all(p, nreal)
+                    for bkt in p["buckets"]:
+                        bkt.pop("s2e", None)
+                    if p["top"] is not None:
+                        p["top"].pop("s2e", None)
+            fwd_plans.append(pf)
+            bwd_plans.append(pb)
+            nreals.append(nreal if dynamic else None)
 
         self.has_static_vals = static_vals
         self.dynamic = dynamic
@@ -294,16 +318,6 @@ class ShardedHybSpMM:
             from dorylus_tpu.ops.hyb_spmm import _cast_vals
             for p in self.arrays.values():
                 _cast_vals(p, np.dtype(gather_dtype))
-        if not dynamic:
-            # Only the dynamic per-edge path reads the slot->edge maps at
-            # runtime (see HybSpMM dynamic=False) — don't ship E-sized
-            # grids neither production model touches.
-            for p in self.arrays.values():
-                p.pop("e2s", None)
-                for b in p["buckets"]:
-                    b.pop("s2e", None)
-                if p["top"] is not None:
-                    p["top"].pop("s2e", None)
         self.static = (table, vp,
                        None if gather_dtype is None
                        else np.dtype(gather_dtype), ep, None, None, 0)

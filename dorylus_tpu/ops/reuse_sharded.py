@@ -210,10 +210,11 @@ class ShardedReuseSpMM:
             f_in = np.zeros((n, table), np.float32)
             f_in[:, :vp] = f_local
             for q, sq in enumerate(sharded.shards):
-                rows = f_local[q][np.asarray(sq.send_idx)]  # (n, max_h)
-                for s_i in range(n):
-                    f_in[s_i, vp + q * sharded.max_h:
-                         vp + (q + 1) * sharded.max_h] = rows[s_i]
+                # rows is already (n, max_h): row s_i is what shard q
+                # sends to shard s_i — one vectorized assignment.
+                rows = f_local[q][np.asarray(sq.send_idx)]
+                f_in[:, vp + q * sharded.max_h:
+                     vp + (q + 1) * sharded.max_h] = rows
             self.arrays["f_in"] = jnp.asarray(f_in)
             self.arrays["f_out"] = jnp.asarray(f_local)
         self.static = (table, vp,

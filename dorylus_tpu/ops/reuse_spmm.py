@@ -54,11 +54,14 @@ def reuse_unit_pass(static, arrs, h):
 
 
 def _fwd(static, arrs, h):
-    return reuse_unit_pass(static, arrs, h), (arrs,)
+    # Zero-size dtype token: dh must come back in h's dtype (bf16 under
+    # compute_dtype=bf16), not the f32 primal output's — returning f32
+    # made the h*f multiply's transpose throw at trace time (r5 review).
+    return reuse_unit_pass(static, arrs, h), (arrs, jnp.zeros((), h.dtype))
 
 
 def _bwd(static, res, gout):
-    (arrs,) = res
+    arrs, h_tok = res
     num_in, _, gdt = static[:3]
     nib = static[4]
     bud = static[5] if len(static) > 5 else 0
@@ -70,7 +73,7 @@ def _bwd(static, res, gout):
     d_arrs = jax.tree.map(
         lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
         else None, arrs)
-    return d_arrs, dh.astype(gout.dtype)
+    return d_arrs, dh.astype(h_tok.dtype)
 
 
 reuse_unit_pass.defvjp(_fwd, _bwd)

@@ -179,7 +179,14 @@ def ragged_canary(mesh, dtype=jnp.float32) -> bool:
     from jax import shard_map
 
     n = mesh.shape[GRAPH_AXIS]
-    assert n <= 256, "canary payload exactness holds to 256 shards"
+    if n > 256:
+        # Payload exactness only holds to 256 shards — treat a wider mesh
+        # as a canary failure (padded fallback), not a hard crash: the
+        # documented contract is "never a hard crash of a pod run".
+        from dorylus_tpu.common.logging import log
+        log("ragged halo canary skipped: %d shards > 256 (payload "
+            "exactness bound) — falling back to the padded wire format", n)
+        return False
     try:
         @_ft.partial(shard_map, mesh=mesh,
                      in_specs=(P(GRAPH_AXIS), P(GRAPH_AXIS)),

@@ -345,3 +345,41 @@ def test_reuse_auto_payoff_gate_both_directions(monkeypatch):
     assert ceiling == eng_mod.REUSE_CUT_CAP * 10**6 \
         * eng_mod.REUSE_SAVE_S_PER_ROW
     assert mine == 10**6 * eng_mod.REUSE_MINE_S_PER_EDGE
+
+
+def test_reuse_grad_bf16_input():
+    """Regression (round-5 review): grad through ReuseSpMM.apply_static /
+    apply_dst with a bfloat16 h raised a trace-time dtype TypeError — the
+    custom VJP returned dh in f32 (the primal OUTPUT dtype) instead of
+    h's dtype, and the h*f multiply's transpose requires matching dtypes.
+    This is the production GCN/GAT + reuse + --bf16 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from dorylus_tpu.ops.reuse_spmm import ReuseSpMM
+
+    src, dst = clustered_graph(200, 8, 8, seed=3)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    f = np.random.default_rng(0).uniform(0.5, 1.5, 200).astype(np.float32)
+    op = ReuseSpMM(src, dst, 200, 200, max_width=8, feature_dim=4,
+                   rank1_factor=f)
+    h = jnp.asarray(np.random.default_rng(1).normal(size=(200, 4)),
+                    dtype=jnp.bfloat16)
+
+    def loss_static(h):
+        return (op.apply_static(op.arrays, h).astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss_static)(h)
+    assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(
+        g.astype(jnp.float32)).all())
+
+    op2 = ReuseSpMM(src, dst, 200, 200, max_width=8, feature_dim=4)
+    dv = jnp.asarray(f)
+
+    def loss_dst(h):
+        return (op2.apply_dst(op2.arrays, h, dv).astype(jnp.float32)
+                ** 2).sum()
+
+    g2 = jax.grad(loss_dst)(h)
+    assert g2.dtype == jnp.bfloat16

@@ -138,3 +138,55 @@ def test_halo_planned_backward_matches_autodiff():
     g_auto = np.asarray(make(False)(jnp.asarray(h)))
     g_plan = np.asarray(make(True)(jnp.asarray(h)))
     np.testing.assert_allclose(g_plan, g_auto, rtol=1e-5, atol=1e-6)
+
+
+def test_hyb_top_pad_hub_count_mismatch():
+    import jax.numpy as jnp
+    """Regression (round-5 review): when the shard holding the cross-shard
+    MAX top chunk-row count has FEWER hubs than the cross-shard max hub
+    count, _uniform_plans must not corrupt inv[vp-1]. Pre-fix, _pad_rows
+    returned the source dict un-copied at pad==0, the padded hub list
+    aliased back into the plan, and the inv rebuild wrote a dead hub row
+    over vertex vp-1 — silently zeroing its aggregated output.
+
+    Shard 0: one hub of in-degree 24 (6 chunk rows at width 4).
+    Shard 1: three hubs of in-degree 8 (2 rows each, also 6 rows).
+    Vertex 7 (= shard 0 local vp-1) has real in-edges — the canary."""
+    from dorylus_tpu.graph.graph import Graph
+    from dorylus_tpu.ops.hyb_sharded import ShardedHybSpMM
+
+    src, dst = [], []
+    for k in range(24):  # hub 0 on shard 0
+        src.append(1 + k % 7)
+        dst.append(0)
+    for s in (5, 6):  # the canary: vertex vp-1 of shard 0
+        src.append(s)
+        dst.append(7)
+    src.append(2)  # low-degree filler so shard 0 has plain buckets
+    dst.append(1)
+    for hub in (8, 9, 10):  # three smaller hubs on shard 1
+        for k in range(8):
+            src.append(11 + k % 5)
+            dst.append(hub)
+    src.append(13)
+    dst.append(12)
+    g = Graph(16, np.asarray(src, np.int32), np.asarray(dst, np.int32),
+              features=np.random.default_rng(0).normal(
+                  size=(16, 3)).astype(np.float32),
+              labels=np.zeros(16, np.int32), num_classes=2).finalize()
+    sg = partition_graph(g, 2, method="range")
+    op = ShardedHybSpMM(sg, max_width=4, lam_slots=8, static_vals=True,
+                        dynamic=False)
+    assert op.arrays["fwd"]["top"] is not None, "want hub coverage"
+    n, vp, mh = sg.n_shards, sg.vp, sg.max_h
+    rng = np.random.default_rng(1)
+    for s_i, s in enumerate(sg.shards):
+        h = rng.normal(size=(vp, 3)).astype(np.float32)
+        ghosts = rng.normal(size=(n * mh, 3)).astype(np.float32)
+        table = np.concatenate([h, ghosts], axis=0)
+        arrays = jax.tree.map(lambda v: v[s_i], op.arrays)
+        got = np.asarray(op.apply_static(arrays, jnp.asarray(table)))
+        want = np.zeros((vp, 3))
+        np.add.at(want, s.dst, s.edge_val[:, None] * table[s.src])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"shard {s_i}")
